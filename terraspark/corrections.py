@@ -1,0 +1,150 @@
+"""Distributed topographic correction: join -> scalar aggs -> kernel map.
+
+Pipeline (all lazy DataFrame ops; SURVEY.md sections 2.2, 2.4, 2.5):
+
+1. ``join_dem``     -- image tiles x derived DEM features, equi-join on the
+   H3-like ``cell`` key.  The reference's positional multi-raster alignment
+   (/root/reference/util/raster_calc.py:87-109) becomes this explicit join.
+   DEM features are broadcast when small (dimension-table pattern); at
+   larger scale AQE skew-join plus an optional salt handle the hot cells
+   that FIXTURES.md deliberately creates (8 images on one anchor cell).
+2. ``band_stats``   -- per-(image, band) sufficient statistics as ONE
+   map-side pass over tiles + a tiny groupBy.sum: the distributed, exact
+   closed form of the plugin's whole-scene driver regressions
+   (LuminanceRegressionTopoCorrectionAlgorithm.py:30-35,
+   MinnaertTopoCorrectionAlgorithm.py:110-115, gdal_utils.py:70-88).
+3. ``apply_corrections`` -- broadcast the tiny scalars table back and run
+   the shared numpy kernels over Arrow batches (mapInPandas), emitting one
+   corrected tile row per (tile, method).
+
+The joined tile table should be persisted by callers running several
+methods -- mirroring the reference's memoized luminance
+(execution_context.py:78-83).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import METHODS, TILE, CorrectionParams
+from .kernels import STAT_FIELDS, apply_correction, partial_stats, scalars_from_stats
+from .tiling import tiles_as_numpy
+
+STATS_SCHEMA = "image_id string, band int, " + ", ".join(
+    f"{f} double" for f in STAT_FIELDS)
+
+SCALAR_FIELDS = ("reg_intercept", "reg_slope", "c", "k", "pbc_c",
+                 "band_mean", "lum_mean")
+
+CORRECTED_SCHEMA = (
+    "image_id string, caption string, band int, tile_x int, tile_y int, "
+    "cell long, method string, px binary"
+)
+
+
+def join_dem(tiles: DataFrame, dem_features: DataFrame,
+             broadcast_dem: bool = True) -> DataFrame:
+    """Equi-join tile rows to DEM features on the cell key.
+
+    ``broadcast_dem=True`` is the 100TB-design default when the DEM side is
+    the small one (a DEM covers the world once; imagery covers it many
+    times over) -- a broadcast hash join has no shuffle and is immune to the
+    hot-cell skew on the probe side.  With ``False`` Spark plans a shuffle
+    join and AQE's skew-join splitting handles stragglers.
+    """
+    feats = dem_features.select(
+        "cell",
+        F.col("slope").alias("slope_px"),
+        F.col("lum").alias("lum_px"),
+    )
+    if broadcast_dem:
+        feats = F.broadcast(feats)
+    return tiles.join(feats, "cell", "inner")
+
+
+def _stats_batches(batches: Iterator[pd.DataFrame], tile: int,
+                   params: CorrectionParams) -> Iterator[pd.DataFrame]:
+    cols = ["image_id", "band", *STAT_FIELDS]
+    for pdf in batches:
+        rows = []
+        if len(pdf):
+            dn = tiles_as_numpy(pdf, "px", tile)
+            lum = tiles_as_numpy(pdf, "lum_px", tile)
+            slope = tiles_as_numpy(pdf, "slope_px", tile)
+            # vectorize per (image, band): one numpy reduction per group
+            for (iid, band), idx in pdf.groupby(
+                    ["image_id", "band"], sort=False).indices.items():
+                st = partial_stats(dn[idx], lum[idx], slope[idx], params)
+                st["image_id"] = iid
+                st["band"] = int(band)
+                rows.append(st)
+        yield (pd.DataFrame(rows, columns=cols) if rows
+               else pd.DataFrame({c: [] for c in cols}))
+
+
+def band_stats(joined: DataFrame, params: CorrectionParams,
+               tile: int = TILE) -> pd.DataFrame:
+    """Collect per-(image, band) sufficient stats -> tiny pandas frame of
+    method scalars (the reference's `init()` phase, distributed)."""
+    partials = joined.select("image_id", "band", "px", "lum_px", "slope_px") \
+        .mapInPandas(lambda it: _stats_batches(it, tile, params),
+                     schema=STATS_SCHEMA)
+    agg = partials.groupBy("image_id", "band").agg(
+        *[F.sum(f).alias(f) for f in STAT_FIELDS])
+    pdf = agg.toPandas()
+    out = []
+    for r in pdf.itertuples(index=False):
+        sc = scalars_from_stats({f: getattr(r, f) for f in STAT_FIELDS})
+        sc["image_id"] = r.image_id
+        sc["band"] = int(r.band)
+        out.append(sc)
+    return pd.DataFrame(out, columns=["image_id", "band", *SCALAR_FIELDS])
+
+
+def _correct_batches(batches: Iterator[pd.DataFrame], methods: Sequence[str],
+                     tile: int, params: CorrectionParams) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        dn = tiles_as_numpy(pdf, "px", tile)
+        lum = tiles_as_numpy(pdf, "lum_px", tile)
+        slope = tiles_as_numpy(pdf, "slope_px", tile)
+        groups = pdf.groupby(["image_id", "band"], sort=False).indices
+        outs = []
+        for method in methods:
+            px_out = np.empty(len(pdf), dtype=object)
+            for (iid, band), idx in groups.items():
+                sc = {f: float(pdf[f].iloc[idx[0]]) for f in SCALAR_FIELDS}
+                # scalars are constant per (image, band): one vectorized
+                # kernel call over all the group's tiles at once
+                corrected = apply_correction(
+                    method, iid, int(band), dn[idx], lum[idx], slope[idx],
+                    sc, params)
+                for j, k in enumerate(idx):
+                    px_out[k] = corrected[j].tobytes()
+            outs.append(pd.DataFrame({
+                "image_id": pdf["image_id"], "caption": pdf["caption"],
+                "band": pdf["band"], "tile_x": pdf["tile_x"],
+                "tile_y": pdf["tile_y"], "cell": pdf["cell"],
+                "method": method, "px": px_out,
+            }))
+        yield pd.concat(outs, ignore_index=True)
+
+
+def apply_corrections(joined: DataFrame, scalars: pd.DataFrame,
+                      methods: Sequence[str] = METHODS,
+                      params: CorrectionParams = CorrectionParams(),
+                      tile: int = TILE) -> DataFrame:
+    """Broadcast-join scalars back and run the correction kernels."""
+    spark = joined.sparkSession
+    sc_df = F.broadcast(spark.createDataFrame(
+        scalars, schema="image_id string, band int, " + ", ".join(
+            f"{f} double" for f in SCALAR_FIELDS)))
+    enriched = joined.join(sc_df, ["image_id", "band"], "inner")
+    return enriched.mapInPandas(
+        lambda it: _correct_batches(it, list(methods), tile, params),
+        schema=CORRECTED_SCHEMA)

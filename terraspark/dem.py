@@ -1,0 +1,185 @@
+"""Distributed DEM -> slope/aspect/luminance via ring-1 halo exchange.
+
+The reference derives slope/aspect from the whole DEM with gdal:slope /
+gdal:aspect (ZEVENBERGEN, COMPUTE_EDGES --
+/root/reference/processing_alg/execution_context.py:193-262) and luminance
+with a raster calc (:264-294).  Zevenbergen-Thorne needs a 1-pixel halo, so
+a tiled distributed computation must exchange tile-edge strips between
+cell-neighbors: each DEM tile emits its edge rows/cols/corners to the
+neighboring cells (H3-like ring-1, SURVEY.md J5), a single shuffle gathers
+(dem_id, cell) groups, and an ``applyInPandas`` stage assembles the padded
+(TILE+2)^2 block and evaluates the shared numpy kernels.
+
+Where a neighbor is missing (DEM boundary) the pad is filled by the same
+linear extrapolation gdaldem COMPUTE_EDGES uses, in the same order as the
+full-grid oracle (rows first, then columns), so engine output is
+bit-comparable to the oracle everywhere including borders.
+
+Scale notes: shuffle volume is ~1.03x the DEM (center tile + 4 thin strips
++ 4 corner pixels per tile); grouping key (dem_id, cell) is uniformly
+distributed, no skew.  The derived table should be persisted and reused by
+every correction, mirroring the reference's memoized slope/aspect/luminance
+(execution_context.py:167-191).
+
+Grid orientation: cell ilat grows northward; raster row 0 is the north
+edge, so the cell to the north is tile row ty-1.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import cells
+from .config import TILE, CorrectionParams
+from .kernels import aspect_radians, luminance, slope_radians
+
+HALO_SCHEMA = ("dem_id string, target long, role string, tile_x int, "
+               "tile_y int, lat double, lon double, data binary")
+
+FEATURES_SCHEMA = ("dem_id string, cell long, tile_x int, tile_y int, "
+                   "lat double, lon double, slope binary, aspect binary, "
+                   "lum binary")
+
+# role -> (d_ilat, d_ilon) from sender to target
+_EMITS = {
+    "C": (0, 0),
+    "N": (-1, 0),   # my bottom row is the NORTH halo of the cell south of me
+    "S": (1, 0),    # my top row -> SOUTH halo of the cell north of me
+    "W": (0, 1),    # my east col -> WEST halo of the cell east of me
+    "E": (0, -1),   # my west col -> EAST halo of the cell west of me
+    "NW": (-1, 1),  # my SE-most pixel... see _payload for exact pixels
+    "NE": (-1, -1),
+    "SW": (1, 1),
+    "SE": (1, -1),
+}
+
+
+def _payload(z: np.ndarray, role: str) -> np.ndarray:
+    if role == "C":
+        return z
+    if role == "N":      # sender is north of target: send bottom row
+        return z[-1]
+    if role == "S":      # sender south of target: send top row
+        return z[0]
+    if role == "W":      # sender west of target: send east col
+        return z[:, -1]
+    if role == "E":
+        return z[:, 0]
+    if role == "NW":     # sender is target's north-west: send SE pixel
+        return z[-1:, -1]
+    if role == "NE":
+        return z[-1:, :1][0]
+    if role == "SW":
+        return z[:1, -1]
+    if role == "SE":
+        return z[:1, :1][0]
+    raise ValueError(role)
+
+
+def _emit_halo(batches: Iterator[pd.DataFrame], tile: int) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "dem_id", "target", "role", "tile_x", "tile_y", "lat", "lon", "data")}
+        if len(pdf):
+            keys, dlat, dlon = cells.ring_offsets_vectorized(
+                pdf["cell"].to_numpy(), 1)
+        for i, row in enumerate(pdf.itertuples(index=False)):
+            z = np.frombuffer(row.elev, dtype="<f4").reshape(tile, tile)
+            res, ilat, ilon = cells.decode(np.int64(row.cell))
+            for role, (dla, dlo) in _EMITS.items():
+                target = int(cells.from_indices(int(res), int(ilat) + dla,
+                                                int(ilon) + dlo))
+                rows["dem_id"].append(row.dem_id)
+                rows["target"].append(target)
+                rows["role"].append(role)
+                rows["tile_x"].append(row.tile_x if role == "C" else -1)
+                rows["tile_y"].append(row.tile_y if role == "C" else -1)
+                rows["lat"].append(row.lat if role == "C" else 0.0)
+                rows["lon"].append(row.lon if role == "C" else 0.0)
+                rows["data"].append(np.ascontiguousarray(
+                    _payload(z, role), dtype="<f4").tobytes())
+        yield pd.DataFrame(rows)
+
+
+def assemble_padded(z: np.ndarray, strips: dict[str, np.ndarray],
+                    tile: int) -> np.ndarray:
+    """Assemble the (tile+2)^2 padded block; missing halo pieces are filled
+    with gdaldem-style linear extrapolation in oracle order (rows, then
+    columns) so borders match terraspark.kernels.pad_extrapolate exactly."""
+    t = tile
+    zp = np.empty((t + 2, t + 2), dtype=np.float64)
+    zp[1:-1, 1:-1] = z
+    zp[0, 1:-1] = strips["N"] if "N" in strips else 2 * z[0] - z[1]
+    zp[-1, 1:-1] = strips["S"] if "S" in strips else 2 * z[-1] - z[-2]
+    zp[1:-1, 0] = strips["W"] if "W" in strips else 2 * z[:, 0] - z[:, 1]
+    zp[1:-1, -1] = strips["E"] if "E" in strips else 2 * z[:, -1] - z[:, -2]
+    w = strips.get("W")
+    e = strips.get("E")
+    # corners: true diagonal pixel > vertical extrapolation of the side col
+    # (DEM north/south edge) > horizontal extrapolation of the pad row
+    if "NW" in strips:
+        zp[0, 0] = strips["NW"][0]
+    elif "N" not in strips and w is not None:
+        zp[0, 0] = 2 * w[0] - w[1]
+    else:
+        zp[0, 0] = 2 * zp[0, 1] - zp[0, 2]
+    if "NE" in strips:
+        zp[0, -1] = strips["NE"][0]
+    elif "N" not in strips and e is not None:
+        zp[0, -1] = 2 * e[0] - e[1]
+    else:
+        zp[0, -1] = 2 * zp[0, -2] - zp[0, -3]
+    if "SW" in strips:
+        zp[-1, 0] = strips["SW"][0]
+    elif "S" not in strips and w is not None:
+        zp[-1, 0] = 2 * w[-1] - w[-2]
+    else:
+        zp[-1, 0] = 2 * zp[-1, 1] - zp[-1, 2]
+    if "SE" in strips:
+        zp[-1, -1] = strips["SE"][0]
+    elif "S" not in strips and e is not None:
+        zp[-1, -1] = 2 * e[-1] - e[-2]
+    else:
+        zp[-1, -1] = 2 * zp[-1, -2] - zp[-1, -3]
+    return zp
+
+
+def _make_assembler(tile: int, params: CorrectionParams):
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[pdf["role"] == "C"]
+        if not len(center):      # halo addressed to a cell with no DEM tile
+            return pd.DataFrame(columns=[
+                "dem_id", "cell", "tile_x", "tile_y", "lat", "lon",
+                "slope", "aspect", "lum"])
+        crow = center.iloc[0]
+        z = np.frombuffer(crow["data"], dtype="<f4").reshape(tile, tile)
+        z = z.astype(np.float64)
+        strips = {
+            r.role: np.frombuffer(r.data, dtype="<f4").astype(np.float64)
+            for r in pdf.itertuples(index=False) if r.role != "C"
+        }
+        zp = assemble_padded(z, strips, tile)
+        slope = slope_radians(zp, params.pixel_size_m)
+        aspect = aspect_radians(zp, params.pixel_size_m)
+        lum = luminance(slope, aspect, params)
+        return pd.DataFrame([{
+            "dem_id": key[0], "cell": int(key[1]),
+            "tile_x": int(crow["tile_x"]), "tile_y": int(crow["tile_y"]),
+            "lat": float(crow["lat"]), "lon": float(crow["lon"]),
+            "slope": np.ascontiguousarray(slope, dtype="<f4").tobytes(),
+            "aspect": np.ascontiguousarray(aspect, dtype="<f4").tobytes(),
+            "lum": np.ascontiguousarray(lum, dtype="<f4").tobytes(),
+        }])
+    return assemble
+
+
+def derive_features(dem: DataFrame, params: CorrectionParams,
+                    tile: int = TILE) -> DataFrame:
+    """dem(dem_id, cell, tile_x, tile_y, lat, lon, elev) ->
+    (dem_id, cell, ..., slope, aspect, lum) -- one shuffle, no skew."""
+    halo = dem.mapInPandas(lambda it: _emit_halo(it, tile), schema=HALO_SCHEMA)
+    return halo.groupBy("dem_id", "target").applyInPandas(
+        _make_assembler(tile, params), schema=FEATURES_SCHEMA)

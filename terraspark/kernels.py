@@ -1,0 +1,344 @@
+"""Shared numpy kernels: terrain derivation + the 11 correction formulas.
+
+This module is the single source of truth for the per-pixel math.  Both the
+single-process reference model (terraspark.reference_model) and the Spark
+engine (terraspark.corrections / terraspark.dem) call these functions, so
+pixel-level parity between them tests the *distributed plumbing* (tiling,
+halo exchange, joins, scalar aggregation) while the formulas themselves are
+literal transcriptions of the reference plugin, cited per function.
+
+Masked-divide semantics are reproduced exactly: the reference passes
+``out=input_band.astype('float32')`` so pixels excluded by ``where=`` keep
+the INPUT value inside the quotient (and are then multiplied by the input
+again) -- e.g. Cosine-T yields DN*DN for below-threshold pixels.  We do not
+"fix" this; the reference's output is the contract
+(/root/reference/processing_alg/topocorrection/CosineTTopoCorrectionAlgorithm.py:38-47).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .config import CorrectionParams, zero_noise
+
+F32 = np.float32
+
+
+# ======================================================================
+# Terrain derivation (reference runs gdal:slope / gdal:aspect with
+# ZEVENBERGEN=True, COMPUTE_EDGES=True, then deg2rad --
+# execution_context.py:193-262).
+# ======================================================================
+def pad_extrapolate(z: np.ndarray) -> np.ndarray:
+    """1-px linear-extrapolation pad (gdaldem COMPUTE_EDGES semantics:
+    edge windows are filled with 2*edge - next, i.e. linear extrapolation)."""
+    h, w = z.shape
+    out = np.empty((h + 2, w + 2), dtype=z.dtype)
+    out[1:-1, 1:-1] = z
+    out[0, 1:-1] = 2 * z[0] - z[1]
+    out[-1, 1:-1] = 2 * z[-1] - z[-2]
+    out[:, 0] = 2 * out[:, 1] - out[:, 2]
+    out[:, -1] = 2 * out[:, -2] - out[:, -3]
+    return out
+
+
+def zt_gradients(zpad: np.ndarray, pixel_size_m: float):
+    """Zevenbergen-Thorne central differences on a 1-px-padded block.
+
+    Returns (dz/dx eastward, dz/dy northward) for the unpadded interior.
+    Matches gdal:slope/aspect ZEVENBERGEN (4-neighbor) stencils.
+    """
+    east = zpad[1:-1, 2:]
+    west = zpad[1:-1, :-2]
+    north = zpad[:-2, 1:-1]
+    south = zpad[2:, 1:-1]
+    dzdx = (east - west) / (2.0 * pixel_size_m)
+    dzdy = (north - south) / (2.0 * pixel_size_m)
+    return dzdx, dzdy
+
+
+def slope_radians(zpad: np.ndarray, pixel_size_m: float) -> np.ndarray:
+    """Slope in radians (gdal:slope ZEVENBERGEN degrees -> deg2rad,
+    execution_context.py:193-227)."""
+    dzdx, dzdy = zt_gradients(zpad, pixel_size_m)
+    return np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)).astype(F32)
+
+
+def aspect_radians(zpad: np.ndarray, pixel_size_m: float) -> np.ndarray:
+    """Aspect in radians, clockwise from north, ZERO_FLAT=True
+    (gdal:aspect ZEVENBERGEN -> deg2rad, execution_context.py:229-262)."""
+    dzdx, dzdy = zt_gradients(zpad, pixel_size_m)
+    ang = np.degrees(np.arctan2(dzdy, -dzdx))
+    az = np.where(ang > 90.0, 450.0 - ang, 90.0 - ang)
+    az = np.where((dzdx == 0) & (dzdy == 0), 0.0, az)  # ZERO_FLAT
+    return np.radians(az).astype(F32)
+
+
+def luminance(slope_rad: np.ndarray, aspect_rad: np.ndarray,
+              params: CorrectionParams) -> np.ndarray:
+    """cos(i) illumination (execution_context.py:281-285):
+    fmax(0, cos(sza)*cos(S) + sin(sza)*sin(S)*cos(A - azimuth))."""
+    sza = params.sza_radians
+    az = params.azimuth_radians
+    out = np.fmax(
+        0.0,
+        np.cos(sza) * np.cos(slope_rad)
+        + np.sin(sza) * np.sin(slope_rad) * np.cos(aspect_rad - az),
+    )
+    return out.astype(F32)
+
+
+# ======================================================================
+# Sufficient statistics for the global per-(image, band) scalars.
+# The reference computes these with whole-scene driver-side numpy
+# (the scalability anti-pattern, SURVEY.md section 4); the engine
+# computes the same closed forms from distributed partial sums.
+# ======================================================================
+STAT_FIELDS = (
+    "n_reg", "sx_reg", "sy_reg", "sxx_reg", "sxy_reg",   # DN~L fit, mask DN>thr
+    "n_min", "sx_min", "sy_min", "sxx_min", "sxy_min",   # Minnaert x~y fit, all px
+    "n_all", "s_dn",                                      # band mean (VECA/Teillet)
+    "s_lum", "n_lum",                                     # luminance mean (Cosine-C)
+)
+
+
+def minnaert_xy(dn: np.ndarray, lum: np.ndarray, slope_rad: np.ndarray):
+    """Minnaert regression variables (MinnaertTopoCorrectionAlgorithm.py:74-108):
+    x = ln(cos(S)*L)  where L>0   else -10
+    y = ln(cos(S)*DN) where DN>0  else -10
+    The -10 fill rows are INCLUDED in the fit (reference behavior)."""
+    cs = np.cos(slope_rad)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = np.log(cs * lum, out=np.full_like(slope_rad, -10.0, dtype=F32),
+                   where=(lum > 0))
+        y = np.log(cs * dn, out=np.full_like(slope_rad, -10.0, dtype=F32),
+                   where=(dn > 0))
+    return x, y
+
+
+def partial_stats(dn: np.ndarray, lum: np.ndarray, slope_rad: np.ndarray,
+                  params: CorrectionParams) -> dict[str, float]:
+    """Per-tile partial sums; additive across tiles of one (image, band)."""
+    dn64 = dn.astype(np.float64).ravel()
+    lum64 = lum.astype(np.float64).ravel()
+    valid = ~np.isnan(dn64)
+    dnv, lumv = dn64[valid], lum64[valid]
+
+    mask = dnv > params.pixel_ignore_threshold   # regression sample filter
+    x, y = lumv[mask], dnv[mask]
+
+    mx, my = minnaert_xy(dn.ravel(), lum.ravel(), slope_rad.ravel())
+    mvalid = valid
+    mx = mx.astype(np.float64)[mvalid]
+    my = my.astype(np.float64)[mvalid]
+
+    return {
+        "n_reg": float(x.size), "sx_reg": float(x.sum()), "sy_reg": float(y.sum()),
+        "sxx_reg": float((x * x).sum()), "sxy_reg": float((x * y).sum()),
+        "n_min": float(mx.size), "sx_min": float(mx.sum()), "sy_min": float(my.sum()),
+        "sxx_min": float((mx * mx).sum()), "sxy_min": float((mx * my).sum()),
+        "n_all": float(dnv.size), "s_dn": float(dnv.sum()),
+        # luminance mean is over the WHOLE scene raster, not masked by DN
+        # validity (CosineCTopoCorrectionAlgorithm.py:42 reads
+        # ctx.luminance_bytes directly)
+        "s_lum": float(lum64.sum()), "n_lum": float(lum64.size),
+    }
+
+
+def ols_from_sums(n: float, sx: float, sy: float, sxx: float, sxy: float):
+    """Closed-form OLS deg-1 fit == np.polynomial.polynomial.polyfit(x,y,1)
+    (intercept, slope), from sufficient statistics."""
+    denom = n * sxx - sx * sx
+    if n == 0 or denom == 0:
+        return float("nan"), float("nan")
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    return intercept, slope
+
+
+def scalars_from_stats(stats: dict[str, float]) -> dict[str, float]:
+    """All method scalars from one stats bundle for one (image, band).
+
+    c   = intercept/slope of DN~L        (CTopoCorrectionAlgorithm.py:60-62)
+    k   = slope of Minnaert y~x          (MinnaertTopoCorrectionAlgorithm.py:70-73,110-115)
+    pbc_c = slope/intercept of Minnaert fit (PbcTopoCorrectionAlgorithm.py:80-83 --
+            note INVERTED ratio vs C-correction)
+    band_mean, lum_mean                  (VecaTopoCorrectionAlgorithm.py:39;
+                                          CosineCTopoCorrectionAlgorithm.py:42)
+    """
+    ri, rs = ols_from_sums(stats["n_reg"], stats["sx_reg"], stats["sy_reg"],
+                           stats["sxx_reg"], stats["sxy_reg"])
+    mi, ms = ols_from_sums(stats["n_min"], stats["sx_min"], stats["sy_min"],
+                           stats["sxx_min"], stats["sxy_min"])
+    return {
+        "reg_intercept": ri,
+        "reg_slope": rs,
+        "c": ri / rs if rs else float("nan"),
+        "k": ms,
+        "pbc_c": ms / mi if mi else float("nan"),
+        "band_mean": stats["s_dn"] / stats["n_all"] if stats["n_all"] else float("nan"),
+        "lum_mean": stats["s_lum"] / stats["n_lum"] if stats["n_lum"] else float("nan"),
+    }
+
+
+# ======================================================================
+# The 11 correction kernels.  dn/lum/slope_rad are float arrays of equal
+# shape; scalars is the dict from scalars_from_stats; returns float32.
+# ======================================================================
+def _out_buf(dn: np.ndarray) -> np.ndarray:
+    return dn.astype("float32")
+
+
+def cosine_t(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # CosineTTopoCorrectionAlgorithm.py:38-47
+    with np.errstate(all="ignore"):
+        return dn * np.divide(
+            params.sza_cosine, lum, out=_out_buf(dn),
+            where=np.logical_and(lum > 0, dn > params.pixel_ignore_threshold),
+        )
+
+
+def cosine_c(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # CosineCTopoCorrectionAlgorithm.py:44-53
+    lm = sc["lum_mean"]
+    with np.errstate(all="ignore"):
+        return dn * (1 + np.divide(
+            lm - lum, lm, out=_out_buf(dn),
+            where=dn > params.pixel_ignore_threshold,
+        ))
+
+
+def c_correction(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # CTopoCorrectionAlgorithm.py:27-33 -- NOTE: no where-guard on the divide;
+    # inf/nan for denominator 0 is reference behavior, reproduced not fixed.
+    c = sc["c"]
+    denominator = lum + c
+    with np.errstate(all="ignore"):
+        return dn * np.divide(params.sza_cosine + c, denominator, _out_buf(dn))
+
+
+def scs(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # ScsTopoCorrectionAlgorithm.py:38-47
+    with np.errstate(all="ignore"):
+        return dn * np.divide(
+            np.cos(slope_rad) * params.sza_cosine, lum, out=_out_buf(dn),
+            where=np.logical_and(lum > 0, dn > params.pixel_ignore_threshold),
+        )
+
+
+def scs_c(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # ScsCTopoCorrectionAlgorithm.py:39-50
+    c = sc["c"]
+    denominator = lum + c
+    with np.errstate(all="ignore"):
+        return dn * np.divide(
+            np.cos(slope_rad) * params.sza_cosine + c, denominator,
+            out=_out_buf(dn),
+            where=np.logical_and(denominator > 0,
+                                 dn > params.pixel_ignore_threshold),
+        )
+
+
+def minnaert(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # MinnaertTopoCorrectionAlgorithm.py:50-60
+    k = sc["k"]
+    with np.errstate(all="ignore"):
+        quotient = np.divide(
+            params.sza_cosine, lum, out=_out_buf(dn),
+            where=np.logical_and(lum > 0, dn > params.pixel_ignore_threshold),
+        )
+        return dn * np.power(quotient, k)
+
+
+def minnaert_scs(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # MinnaertScsTopoCorrectionAlgorithm.py:39-48
+    k = sc["k"]
+    with np.errstate(all="ignore"):
+        quotient = np.divide(
+            params.sza_cosine, lum, out=_out_buf(dn),
+            where=np.logical_and(lum > 0, dn > params.pixel_ignore_threshold),
+        )
+        return dn * np.cos(slope_rad) * np.power(quotient, k)
+
+
+def pbm(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # PbmTopoCorrectionAlgorithm.py:38-49
+    k = sc["k"]
+    with np.errstate(all="ignore"):
+        slope_cos = np.cos(slope_rad)
+        return dn * np.divide(
+            slope_cos, np.power(slope_cos * lum, k), out=_out_buf(dn),
+            where=np.logical_and(lum > 0, dn > params.pixel_ignore_threshold),
+        )
+
+
+def veca(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # VecaTopoCorrectionAlgorithm.py:43-53
+    intercept, slope = sc["reg_intercept"], sc["reg_slope"]
+    denominator = slope * lum + intercept
+    with np.errstate(all="ignore"):
+        result = dn * np.divide(
+            sc["band_mean"], denominator, out=_out_buf(dn),
+            where=np.logical_and(denominator > 0,
+                                 dn > params.pixel_ignore_threshold),
+        )
+    result[result <= 0] = eps
+    return result
+
+
+def teillet(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # TeilletRegressionTopoCorrectionAlgorithm.py:48-57
+    intercept, slope = sc["reg_intercept"], sc["reg_slope"]
+    with np.errstate(all="ignore"):
+        result = np.add(
+            dn - slope * lum - intercept, sc["band_mean"], out=_out_buf(dn),
+            where=dn > params.pixel_ignore_threshold,
+        )
+    result[result <= 0] = eps
+    return result
+
+
+def pbc(dn, lum, slope_rad, sc, params: CorrectionParams, eps):
+    # PbcTopoCorrectionAlgorithm.py:46-58; h raster = (1-S)/pi (:46-47),
+    # h0 = (pi + 2*azimuth_rad)/(2*pi) (:49), c = slope/intercept (:80-83)
+    c = sc["pbc_c"]
+    h0 = params.pbc_h0
+    h = (1.0 - slope_rad) / np.pi
+    denominator = lum + c * h / h0
+    with np.errstate(all="ignore"):
+        return dn * np.divide(
+            params.sza_cosine + c / h0, denominator, out=_out_buf(dn),
+            where=np.logical_and(denominator > 0,
+                                 dn > params.pixel_ignore_threshold),
+        )
+
+
+KERNELS = {
+    "cosine_t": cosine_t,
+    "cosine_c": cosine_c,
+    "c_correction": c_correction,
+    "scs": scs,
+    "scs_c": scs_c,
+    "minnaert": minnaert,
+    "minnaert_scs": minnaert_scs,
+    "pbm": pbm,
+    "veca": veca,
+    "teillet": teillet,
+    "pbc": pbc,
+}
+
+
+def apply_correction(method: str, image_id: str, band: int,
+                     dn: np.ndarray, lum: np.ndarray, slope_rad: np.ndarray,
+                     scalars: dict[str, float],
+                     params: CorrectionParams) -> np.ndarray:
+    """Run one correction kernel with NDV propagation (any NaN input pixel
+    -> NaN output, raster_calc.py:256-274)."""
+    eps = zero_noise(image_id, band, method)
+    dn32 = dn.astype(F32)
+    out = KERNELS[method](dn32, lum.astype(F32), slope_rad.astype(F32),
+                          scalars, params, eps)
+    ndv = np.isnan(dn32)
+    if ndv.any():
+        out = out.copy()
+        out[ndv] = np.nan
+    return out.astype(F32)

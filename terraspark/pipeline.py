@@ -1,0 +1,107 @@
+"""End-to-end orchestration facade: decode -> tile -> derive -> join ->
+correct (-> evaluate).  The Spark-first replacement for the reference's
+eager path-based dataflow (SURVEY.md section 3.1)."""
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from . import corrections, dem, tiling
+from .config import CELL_RES, METHODS, TILE, CorrectionParams, DEFAULT_PARAMS
+
+
+class TopoEngine:
+    """One correction run over an image table + DEM table.
+
+    Mirrors the reference lifecycle (TopoCorrectionAlgorithm.process:
+    init -> per-band process -> merge,
+    /root/reference/processing_alg/topocorrection/TopoCorrectionAlgorithm.py:47-60)
+    as: persist joined tiles -> distributed scalar stats -> kernel map.
+    """
+
+    def __init__(self, spark: SparkSession,
+                 params: CorrectionParams = DEFAULT_PARAMS,
+                 tile: int = TILE, cell_res: int = CELL_RES,
+                 bands: int = 4, broadcast_dem: bool = True):
+        self.spark = spark
+        self.params = params
+        self.tile = tile
+        self.cell_res = cell_res
+        self.bands = bands
+        self.broadcast_dem = broadcast_dem
+        self._joined: DataFrame | None = None
+        self._features: DataFrame | None = None
+
+    # ------------------------------------------------------------ stages
+    def tiles(self, images: DataFrame, scenes: DataFrame) -> DataFrame:
+        return tiling.tile_images(images, scenes, self.tile, self.cell_res,
+                                  self.bands)
+
+    def dem_features(self, dem_df: DataFrame, persist: bool = True) -> DataFrame:
+        feats = dem.derive_features(dem_df, self.params, self.tile)
+        if persist:
+            feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+        self._features = feats
+        return feats
+
+    def joined(self, images: DataFrame, scenes: DataFrame,
+               dem_df: DataFrame, persist: bool = True) -> DataFrame:
+        tiles = self.tiles(images, scenes)
+        feats = self._features or self.dem_features(dem_df)
+        j = corrections.join_dem(tiles, feats, self.broadcast_dem)
+        if persist:
+            j = j.persist(StorageLevel.MEMORY_AND_DISK)
+        self._joined = j
+        return j
+
+    def scalars(self, joined: DataFrame) -> pd.DataFrame:
+        return corrections.band_stats(joined, self.params, self.tile)
+
+    def correct(self, images: DataFrame, scenes: DataFrame, dem_df: DataFrame,
+                methods: Sequence[str] = METHODS) -> DataFrame:
+        j = self._joined or self.joined(images, scenes, dem_df)
+        sc = self.scalars(j)
+        return corrections.apply_corrections(j, sc, methods, self.params,
+                                             self.tile)
+
+    def unpersist(self):
+        for df in (self._joined, self._features):
+            if df is not None:
+                df.unpersist()
+        self._joined = self._features = None
+
+
+def correction_summary(corrected: DataFrame, tile: int = TILE,
+                       round_to: int = 3) -> DataFrame:
+    """Per (image, band, method) valid count + rounded mean of corrected
+    pixels -- matches OracleRun.expected_correction_summary for the
+    driver's hash comparison."""
+    import numpy as np
+
+    def summarize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = np.frombuffer(b"".join(pdf["px"].tolist()), dtype="<f4") \
+                .reshape(len(pdf), tile * tile)
+            finite = np.isfinite(px)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "band": pdf["band"],
+                "method": pdf["method"],
+                "n_valid": finite.sum(axis=1).astype("int64"),
+                "sum_px": np.where(finite, px.astype(np.float64), 0.0).sum(axis=1),
+            })
+
+    partial = corrected.mapInPandas(
+        summarize,
+        schema="image_id string, band int, method string, n_valid long, sum_px double")
+    return (partial.groupBy("image_id", "band", "method")
+            .agg(F.sum("n_valid").alias("n_valid"),
+                 F.sum("sum_px").alias("sum_px"))
+            .select("image_id", "band", "method", "n_valid",
+                    F.round(F.col("sum_px") / F.col("n_valid"), round_to)
+                    .alias("mean_px")))

@@ -1,0 +1,98 @@
+"""Decode + tile fan-out: 1 image row -> bands * (w/TILE) * (h/TILE) tile rows.
+
+This is the engine's scan operator (SURVEY.md S1-S5): the reference opens a
+GDAL dataset and streams fixed blocks (/root/reference/util/raster_calc.py:219-254);
+we decode each image ONCE inside a ``mapInPandas`` iterator (UDTF-shaped:
+one input row fans out to many tile rows) and assign every tile an H3-like
+cell key via batched vectorized encode (north rule: no per-row Python).
+
+Output schema (the engine's central table):
+    image_id, caption, fmt, band, tile_x, tile_y, lat, lon, cell, px(binary)
+
+``px`` is the raw little-endian float32 TILE*TILE block -- zero-copy into
+numpy downstream.  Lineage columns (caption, fmt) ride along; ``phash`` is
+re-computed on decode and checked against the stored column (integrity,
+mirroring the reference's metadata-preservation behavior,
+/root/reference/processing_alg/topocorrection/TopoCorrectionPostProcessor.py:45-56).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells, codecs
+from .config import CELL_DEG, CELL_RES, TILE
+
+TILE_SCHEMA = (
+    "image_id string, caption string, fmt string, band int, "
+    "tile_x int, tile_y int, lat double, lon double, cell long, "
+    "px binary, phash_ok boolean"
+)
+
+
+def _tile_batches(batches: Iterator[pd.DataFrame], tile: int, cell_res: int,
+                  bands: int) -> Iterator[pd.DataFrame]:
+    cell_deg = 1.0 / (1 << cell_res)
+    pixel_deg = cell_deg / tile
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "image_id", "caption", "fmt", "band", "tile_x", "tile_y",
+            "lat", "lon", "px", "phash_ok")}
+        for row in pdf.itertuples(index=False):
+            px = codecs.decode(row.bytes, row.fmt, bands, row.h, row.w)
+            ok = codecs.dhash64(px) == row.phash
+            ntx, nty = row.w // tile, row.h // tile
+            # lat0/lon0: image's north-west corner (rasters are row-0-north)
+            for b in range(bands):
+                band = px[b]
+                for ty in range(nty):
+                    for tx in range(ntx):
+                        block = band[ty * tile:(ty + 1) * tile,
+                                     tx * tile:(tx + 1) * tile]
+                        out["image_id"].append(row.image_id)
+                        out["caption"].append(row.caption)
+                        out["fmt"].append(row.fmt)
+                        out["band"].append(b)
+                        out["tile_x"].append(tx)
+                        out["tile_y"].append(ty)
+                        out["lat"].append(row.lat0 - (ty + 0.5) * tile * pixel_deg)
+                        out["lon"].append(row.lon0 + (tx + 0.5) * tile * pixel_deg)
+                        out["px"].append(
+                            np.ascontiguousarray(block, dtype="<f4").tobytes())
+                        out["phash_ok"].append(ok)
+        res = pd.DataFrame(out)
+        if len(res):
+            # batched vectorized cell encode (north rule)
+            res["cell"] = cells.encode(res["lat"].to_numpy(),
+                                       res["lon"].to_numpy(), cell_res)
+        else:
+            res["cell"] = pd.Series([], dtype="int64")
+        yield res[["image_id", "caption", "fmt", "band", "tile_x", "tile_y",
+                   "lat", "lon", "cell", "px", "phash_ok"]]
+
+
+def tile_images(images: DataFrame, scenes: DataFrame, tile: int = TILE,
+                cell_res: int = CELL_RES, bands: int = 4) -> DataFrame:
+    """images (input_hint schema) x scenes (georeference dim) -> tile rows.
+
+    The scenes join is a broadcast hash join (tiny dimension table); the
+    heavy decode work happens after it so the single shuffle-free map stage
+    does decode -> tile -> cell-assign in one pass.
+    """
+    src = images.join(F.broadcast(scenes), "image_id", "inner")
+    return src.mapInPandas(
+        lambda it: _tile_batches(it, tile, cell_res, bands),
+        schema=TILE_SCHEMA)
+
+
+def tiles_as_numpy(pdf: pd.DataFrame, col: str = "px",
+                   tile: int = TILE) -> np.ndarray:
+    """Stack a pandas column of tile blobs into (n, tile*tile) float32."""
+    if not len(pdf):
+        return np.empty((0, tile * tile), dtype=np.float32)
+    return np.frombuffer(b"".join(pdf[col].tolist()),
+                         dtype="<f4").reshape(len(pdf), tile * tile).copy()
