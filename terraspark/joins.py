@@ -1,0 +1,80 @@
+"""Spatial join operators: point-in-polygon (AOI containment) and kNN ring.
+
+The reference's classification join masks every band by a group-id raster
+(/root/reference/processing_alg/topocorrection_eval/eval.py:134-141,173-179).
+Here classification zones are polygons: each AOI row carries a precomputed
+H3-like cell cover (``cells`` array, the polyfill pattern), so
+point-in-polygon becomes cell-key containment:
+
+    tiles JOIN explode(aoi.cells) ON tile.cell == aoi_cell
+
+The exploded cover is tiny (thousands of cells) -> broadcast hash join, no
+shuffle, skew-immune on the probe side.  Tiles matching no polygon are
+dropped, mirroring the reference's NaN-group filter (eval.py:137).
+
+kNN ring context (SURVEY.md J5, a north-rule addition the reference lacks):
+``ring_join`` attaches to every tile the tiles of its ring-k neighborhood
+via a self-equi-join on neighbor cell keys generated map-side.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aoi_cover(aoi: DataFrame) -> DataFrame:
+    """aoi(aoi_id, name, polygon, cells) -> (aoi_id, cell) exploded cover."""
+    return aoi.select("aoi_id", F.explode("cells").alias("cell"))
+
+
+def aoi_containment_join(tiles: DataFrame, aoi: DataFrame,
+                         how: str = "inner") -> DataFrame:
+    """Attach group_id (aoi_id) to tile rows by cell containment."""
+    cover = F.broadcast(aoi_cover(aoi))
+    return tiles.join(cover, "cell", how).withColumnRenamed("aoi_id", "group_id")
+
+
+def ring_join(tiles: DataFrame, k: int = 1,
+              neighbor_cols: tuple = ("cell", "px"),
+              salt_buckets: int = 0) -> DataFrame:
+    """Self-join: each tile row gains its ring-k neighbor tiles (same image,
+    same band).  Neighbor keys are generated map-side with the vectorized
+    cell index (no UDF shuffle fan-out beyond the (2k+1)^2 factor).
+
+    ``salt_buckets > 0`` pre-splits hot cells: the build side is exploded
+    with a salt column and the probe side draws a random salt, bounding the
+    per-task fan-in on FIXTURES.md's deliberately skewed anchor cell.  With
+    0, AQE's skew-join splitting is left to handle it (both paths tested).
+    """
+    from .cells import _LAT_BITS, _LON_BITS  # key layout
+
+    offs = [(dla, dlo) for dla in range(-k, k + 1) for dlo in range(-k, k + 1)]
+    neighbor_keys = F.array(*[
+        (F.col("cell") + F.lit((dla << _LON_BITS) + dlo)).cast("long")
+        for dla, dlo in offs
+    ])
+    probe = tiles.withColumn("nbr_cell", F.explode(neighbor_keys))
+    build = tiles.select(
+        F.col("image_id").alias("n_image_id"),
+        F.col("band").alias("n_band"),
+        *[F.col(c).alias(f"n_{c}") for c in neighbor_cols if c != "cell"],
+        F.col("cell").alias("nbr_cell"),
+    )
+    if salt_buckets > 0:
+        build = build.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+        probe = probe.withColumn(
+            "salt", (F.pmod(F.hash("image_id", "tile_x", "tile_y"),
+                            F.lit(salt_buckets))).cast("int"))
+        cond = ["nbr_cell", "salt"]
+    else:
+        cond = ["nbr_cell"]
+    joined = probe.join(
+        build,
+        on=[*cond],
+        how="inner",
+    ).where(
+        (F.col("image_id") == F.col("n_image_id"))
+        & (F.col("band") == F.col("n_band"))
+    )
+    return joined.drop("n_image_id", "n_band", *(["salt"] if salt_buckets else []))

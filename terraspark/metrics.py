@@ -1,0 +1,161 @@
+"""Evaluation metrics A4-A14 as distributed Spark aggregations.
+
+The reference computes 7 per-band metrics on whole-scene numpy arrays
+(/root/reference/processing_alg/topocorrection_eval/metrics.py:81-206):
+std, cv, IQR, median, threshold-outliers, IQR-outliers, r^2 vs luminance.
+Here each becomes a groupBy aggregation over pixel rows exploded from tile
+blobs (one mapInPandas, then JVM-side aggs):
+
+  std  -> stddev_pop            (np.std is population std)
+  cv   -> stddev_pop / mean
+  IQR/median -> exact ``percentile`` (linear interpolation == np.percentile)
+  r^2  -> corr(value, lum)^2    (scipy.linregress rvalue == Pearson r)
+  outliers(threshold) -> conditional count vs the ORIGINAL image's min/max
+          (metrics.py:151-165; orig stats joined back, J3 pattern)
+  outliers(IQR fence) -> two-phase: percentile agg, broadcast back,
+          conditional count (metrics.py:168-181)
+
+Pixels with non-finite values are excluded on both engine and oracle sides
+(the reference feeds raw GDAL bytes which never contain NaN; our raw_f32
+NoData is NaN -- documented divergence, consistent everywhere).
+
+Scale: the exploded frame is (tiles x 4096) rows but only 5 narrow columns;
+partial aggregation (map-side combine) reduces it before any shuffle.  The
+exact percentile is the one sort-heavy agg -- acceptable per group; swap
+``percentile_approx`` at 100TB (flagged in the docstring, tested exact).
+
+Correlation/rose/histogram evaluation (A12/A13) live in SQL-expressible
+form in __spark_entry__.py as well; ``hist2d`` and ``rose_means`` here are
+the engine's named operators.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import TILE
+
+PIXELS_SCHEMA = ("group_id int, method string, band int, value double, "
+                 "lum double")
+
+ORIG_KEY = "__orig__"
+
+
+def explode_pixels(df: DataFrame, tile: int = TILE,
+                   value_col: str = "px", lum_col: str = "lum_px",
+                   method_col: str = "method") -> DataFrame:
+    """Tile rows -> pixel rows (group_id, method, band, value, lum)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = tile * tile
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = np.frombuffer(b"".join(pdf[value_col].tolist()),
+                               dtype="<f4").reshape(len(pdf), n)
+            lum = np.frombuffer(b"".join(pdf[lum_col].tolist()),
+                                dtype="<f4").reshape(len(pdf), n)
+            finite = np.isfinite(px)
+            rows = np.repeat(np.arange(len(pdf)), finite.sum(axis=1))
+            yield pd.DataFrame({
+                "group_id": pdf["group_id"].to_numpy()[rows],
+                "method": pdf[method_col].to_numpy()[rows],
+                "band": pdf["band"].to_numpy()[rows],
+                "value": px[finite].astype(np.float64),
+                "lum": lum[finite].astype(np.float64),
+            })
+
+    return df.mapInPandas(gen, schema=PIXELS_SCHEMA)
+
+
+def evaluate_metrics(pixels: DataFrame) -> DataFrame:
+    """Long metric table (group_id, method, band, metric_id, value).
+
+    ``pixels`` must contain the original image's pixels under
+    method == '__orig__' (they provide the static outlier thresholds).
+    """
+    keys = ["group_id", "method", "band"]
+    base = pixels.groupBy(*keys).agg(
+        F.stddev_pop("value").alias("std_reduction"),
+        (F.stddev_pop("value") / F.mean("value")).alias("cv_reduction"),
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("q"),
+        (F.corr("value", "lum") ** 2).alias("determination_coefficient"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ).select(
+        *keys, "std_reduction", "cv_reduction", "determination_coefficient",
+        (F.col("q")[2] - F.col("q")[0]).alias("iqr_reduction"),
+        F.col("q")[1].alias("relative_median_difference"),
+        (F.col("q")[0] - (F.col("q")[2] - F.col("q")[0])).alias("fence_lo"),
+        (F.col("q")[2] + (F.col("q")[2] - F.col("q")[0])).alias("fence_hi"),
+        "vmin", "vmax",
+    )
+
+    # static thresholds come from the ORIGINAL image per (group, band)
+    # (EvalContext.orig_minmax, metrics.py:49-50,160-165)
+    orig_minmax = base.where(F.col("method") == ORIG_KEY).select(
+        "group_id", "band",
+        F.col("vmin").alias("orig_min"), F.col("vmax").alias("orig_max"))
+    fences = base.select(*keys, "fence_lo", "fence_hi")
+
+    counts = (pixels
+              .join(F.broadcast(orig_minmax), ["group_id", "band"])
+              .join(F.broadcast(fences), keys)
+              .groupBy(*keys)
+              .agg(
+                  F.sum(F.when((F.col("value") < F.col("orig_min"))
+                               | (F.col("value") > F.col("orig_max")), 1)
+                        .otherwise(0)).cast("double").alias("outliers_threshold"),
+                  F.sum(F.when((F.col("value") < F.col("fence_lo"))
+                               | (F.col("value") > F.col("fence_hi")), 1)
+                        .otherwise(0)).cast("double").alias("outliers_iqr"),
+              ))
+
+    wide = base.drop("fence_lo", "fence_hi", "vmin", "vmax") \
+               .join(counts, keys)
+    metric_cols = ["std_reduction", "cv_reduction", "iqr_reduction",
+                   "relative_median_difference", "outliers_threshold",
+                   "outliers_iqr", "determination_coefficient"]
+    stack = ", ".join(f"'{m}', {m}" for m in metric_cols)
+    return wide.selectExpr(
+        *keys,
+        f"stack({len(metric_cols)}, {stack}) as (metric_id, value)")
+
+
+def hist2d(pixels: DataFrame, bins: int = 100) -> DataFrame:
+    """A12: 2-D histogram of (luminance, DN), np.histogram2d semantics
+    (correlation_eval.py:93-98): lum range fixed [0,1], DN range
+    [min,max] per (group, method, band); right-closed last bin."""
+    keys = ["group_id", "method", "band"]
+    rng = pixels.groupBy(*keys).agg(F.min("value").alias("vmin"),
+                                    F.max("value").alias("vmax"))
+    p = pixels.join(F.broadcast(rng), keys)
+    bx = F.least(F.floor(F.col("lum") * bins), F.lit(bins - 1)).cast("int")
+    by = F.least(
+        F.floor((F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / bins)),
+        F.lit(bins - 1)).cast("int")
+    return (p.where((F.col("lum") >= 0) & (F.col("lum") <= 1)
+                    & (F.col("value") >= F.col("vmin"))
+                    & (F.col("value") <= F.col("vmax")))
+            .groupBy(*keys, bx.alias("bin_x"), by.alias("bin_y"))
+            .count())
+
+
+def rose_means(pixels_with_terrain: DataFrame, slope_step_deg: float = 30.0,
+               aspect_step_deg: float = 10.0, slope_max: float = 90.0,
+               aspect_max: float = 360.0) -> DataFrame:
+    """A13: group-by (slope bin, aspect bin) mean DN
+    (rose_diagram_eval.py:104-106,219-233).  Expects columns
+    slope_deg/aspect_deg/value."""
+    f = pixels_with_terrain.where(
+        (F.col("slope_deg") <= slope_max) & (F.col("aspect_deg") <= aspect_max))
+    return (f.groupBy(
+        F.floor(F.col("slope_deg") / slope_step_deg).cast("int").alias("slope_bin"),
+        F.floor(F.col("aspect_deg") / aspect_step_deg).cast("int").alias("aspect_bin"),
+        "group_id", "method", "band")
+        .agg(F.mean("value").alias("mean_value")))

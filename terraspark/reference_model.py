@@ -163,6 +163,88 @@ class OracleRun:
             {"stage": "tile_x_aoi", "rows": n_aoi},
         ])
 
+    # ----------------------------------------------------- metrics oracle
+    def tile_groups(self) -> pd.DataFrame:
+        """(image_id, tile_x, tile_y, cell, group_id) via AOI cell covers
+        (tile-granular classification, the engine's containment-join
+        analogue of the reference's group raster, eval.py:134-141)."""
+        assign = self.expected_assignments()
+        covers = []
+        for _, r in self.aoi.iterrows():
+            covers.append(pd.DataFrame({
+                "cell": [int(c) for c in r["cells"]],
+                "group_id": r["aoi_id"]}))
+        cover = pd.concat(covers, ignore_index=True)
+        return assign.merge(cover, on="cell", how="inner")
+
+    def _group_pixels(self, image_id: str, arr_by_band: np.ndarray,
+                      tiles: pd.DataFrame):
+        """Concatenate per-tile pixel vectors (and luminance) for one image
+        restricted to the given tile list."""
+        vals = {b: [] for b in range(BANDS)}
+        lums = {b: [] for b in range(BANDS)}
+        for t in tiles.itertuples(index=False):
+            lum_t = self.luminance_tile(image_id, t.tile_x, t.tile_y).ravel()
+            for b in range(BANDS):
+                v = arr_by_band[b][t.tile_y * TILE:(t.tile_y + 1) * TILE,
+                                   t.tile_x * TILE:(t.tile_x + 1) * TILE].ravel()
+                vals[b].append(v)
+                lums[b].append(lum_t)
+        return ({b: np.concatenate(vals[b]) for b in vals},
+                {b: np.concatenate(lums[b]) for b in lums})
+
+    def expected_metrics(self) -> pd.DataFrame:
+        """Long metric table (group_id, method, band, metric_id, value)
+        mirroring terraspark.metrics.evaluate_metrics (metrics.py:81-206
+        formulas; finite pixels only)."""
+        groups = self.tile_groups()
+        rows = []
+        for gid, gtiles in groups.groupby("group_id"):
+            # gather value/lum arrays per method/band across all images
+            per_method: dict[str, dict[int, list]] = {}
+            lum_acc: dict[int, list] = {b: [] for b in range(BANDS)}
+            for iid, itiles in gtiles.groupby("image_id"):
+                sources = {"__orig__": self._decoded[iid]}
+                for m in self.methods:
+                    sources[m] = self._corrected[iid][m]
+                lum_done = False
+                for m, arr in sources.items():
+                    vals, lums = self._group_pixels(iid, arr, itiles)
+                    d = per_method.setdefault(m, {b: [] for b in range(BANDS)})
+                    for b in range(BANDS):
+                        d[b].append((vals[b], lums[b]))
+            orig_minmax = {}
+            for b in range(BANDS):
+                pairs = per_method["__orig__"][b]
+                v = np.concatenate([p[0] for p in pairs]).astype(np.float64)
+                v = v[np.isfinite(v)]
+                orig_minmax[b] = (v.min(), v.max())
+            for m, bands_d in per_method.items():
+                for b, pairs in bands_d.items():
+                    v = np.concatenate([p[0] for p in pairs]).astype(np.float64)
+                    lu = np.concatenate([p[1] for p in pairs]).astype(np.float64)
+                    fin = np.isfinite(v)
+                    v, lu = v[fin], lu[fin]
+                    q1, med, q3 = np.percentile(v, [25, 50, 75])
+                    omin, omax = orig_minmax[b]
+                    r = np.corrcoef(v, lu)[0, 1]
+                    vals = {
+                        "std_reduction": float(np.std(v)),
+                        "cv_reduction": float(np.std(v) / np.mean(v)),
+                        "iqr_reduction": float(q3 - q1),
+                        "relative_median_difference": float(med),
+                        "outliers_threshold": float(
+                            np.count_nonzero((v < omin) | (v > omax))),
+                        "outliers_iqr": float(np.count_nonzero(
+                            (v < q1 - (q3 - q1)) | (v > q3 + (q3 - q1)))),
+                        "determination_coefficient": float(r * r),
+                    }
+                    for mid, val in vals.items():
+                        rows.append({"group_id": int(gid), "method": m,
+                                     "band": b, "metric_id": mid,
+                                     "value": val})
+        return pd.DataFrame(rows)
+
     def expected_correction_summary(self, round_to: int = 3) -> pd.DataFrame:
         """Per (image, band, method): valid-pixel count + rounded mean --
         the aggregate the driver's DuckDB oracle compares hash-exactly."""

@@ -1,0 +1,99 @@
+"""Metrics A4-A14 + ranking vs the numpy/pandas oracle."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from terraspark import corrections, joins, metrics as tmetrics, rank
+from terraspark.config import METHODS
+from terraspark.fixtures import (AOI_SCHEMA, DEM_SCHEMA, IMAGES_SCHEMA,
+                                 SCENES_SCHEMA, to_spark)
+from terraspark.pipeline import TopoEngine
+
+EVAL_METHODS = ("cosine_t", "scs", "teillet")
+
+
+@pytest.fixture(scope="module")
+def metric_frames(spark, fixture_tables):
+    images, scenes, dem, aoi, grids, oracle = fixture_tables
+    eng = TopoEngine(spark)
+    images_df = to_spark(spark, images, IMAGES_SCHEMA)
+    scenes_df = to_spark(spark, scenes, SCENES_SCHEMA)
+    dem_df = to_spark(spark, dem, DEM_SCHEMA)
+    aoi_df = to_spark(spark, aoi, AOI_SCHEMA)
+
+    joined = eng.joined(images_df, scenes_df, dem_df)
+    corrected = eng.correct(images_df, scenes_df, dem_df, EVAL_METHODS)
+
+    # original image rows under the '__orig__' method key
+    orig = joined.select("image_id", "band", "tile_x", "tile_y", "cell",
+                         F.lit(tmetrics.ORIG_KEY).alias("method"),
+                         "px", "lum_px")
+    corr = corrections.join_dem(
+        corrected.select("image_id", "band", "tile_x", "tile_y", "cell",
+                         "method", "px"),
+        eng._features).select("image_id", "band", "tile_x", "tile_y",
+                              "cell", "method", "px", "lum_px")
+    both = orig.unionByName(corr)
+    grouped = joins.aoi_containment_join(both, aoi_df)
+    pixels = tmetrics.explode_pixels(grouped)
+    got = tmetrics.evaluate_metrics(pixels).toPandas()
+    exp = oracle.expected_metrics()
+    exp = exp[exp["method"].isin([*EVAL_METHODS, tmetrics.ORIG_KEY])]
+    eng.unpersist()
+    return got, exp
+
+
+def test_metrics_match_oracle(metric_frames):
+    got, exp = metric_frames
+    m = exp.merge(got, on=["group_id", "method", "band", "metric_id"],
+                  suffixes=("_exp", "_got"), how="left")
+    assert not m["value_got"].isna().any(), m[m["value_got"].isna()].head()
+    denom = np.maximum(1.0, m["value_exp"].abs())
+    rel = (m["value_got"] - m["value_exp"]).abs() / denom
+    bad = m[rel > 1e-6]
+    assert bad.empty, bad.head(20).to_string()
+    assert len(got) == len(exp)
+
+
+def test_rank_matches_oracle(metric_frames):
+    got, exp = metric_frames
+    for gid in sorted(exp["group_id"].unique()):
+        r_got = rank.rank_scores(
+            got[got["group_id"] == gid][["method", "band", "metric_id", "value"]])
+        r_exp = rank.rank_scores(
+            exp[exp["group_id"] == gid][["method", "band", "metric_id", "value"]])
+        assert list(r_got["method"]) == list(r_exp["method"]), gid
+        assert np.allclose(r_got["score"], r_exp["score"], rtol=1e-6), gid
+
+
+def test_rank_semantics_hand_case():
+    """Hand-computed case: one band, one reduction metric.
+    orig std=10; A std=5 (better); B std=20 (worse).
+    combine -> -10, -5, -20.  good: A (-5 > -10): norm = (-5+10)/(-5+10)=1.
+    bad: B: norm = (-20 - -20)/(-10 - -20) - 1 = -1.  Scores: A=1, B=-1."""
+    long = pd.DataFrame([
+        {"method": "__orig__", "band": 0, "metric_id": "std_reduction", "value": 10.0},
+        {"method": "A", "band": 0, "metric_id": "std_reduction", "value": 5.0},
+        {"method": "B", "band": 0, "metric_id": "std_reduction", "value": 20.0},
+    ])
+    out = rank.rank_scores(long)
+    assert list(out["method"]) == ["A", "B"]
+    assert np.allclose(out["score"], [1.0, -1.0])
+
+
+def test_rank_median_difference_semantics():
+    """relative_median_difference: -abs(corrected - orig); equal -> 0."""
+    long = pd.DataFrame([
+        {"method": "__orig__", "band": 0,
+         "metric_id": "relative_median_difference", "value": 100.0},
+        {"method": "A", "band": 0,
+         "metric_id": "relative_median_difference", "value": 100.0},
+        {"method": "B", "band": 0,
+         "metric_id": "relative_median_difference", "value": 90.0},
+    ])
+    out = rank.rank_scores(long)
+    # A equals orig -> 0; B worse -> negative
+    a = float(out.loc[out["method"] == "A", "score"].iloc[0])
+    b = float(out.loc[out["method"] == "B", "score"].iloc[0])
+    assert a == 0.0 and b < 0
