@@ -1,0 +1,84 @@
+"""Generate the committed oracle-expected parquet files under fixtures/.
+
+Everything is produced by the single-process numpy reference model
+(terraspark.reference_model) on the deterministic 8-image fixture set --
+never by Spark -- so the driver's DuckDB oracle (read_parquet on these
+files) independently cross-checks the distributed engine.
+
+Run: python scripts/gen_expected.py   (idempotent; rewrites fixtures/)
+"""
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from terraspark import codecs  # noqa: E402
+from terraspark.config import BANDS, IMG_H, IMG_W, TILE, half_up  # noqa: E402
+from terraspark.fixtures import build_tables  # noqa: E402
+from terraspark.reference_model import OracleRun  # noqa: E402
+from terraspark import rank as trank  # noqa: E402
+
+N_IMAGES = 8
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures")
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    images, scenes, dem, aoi, grids = build_tables(N_IMAGES)
+    oracle = OracleRun(N_IMAGES, images, scenes, grids, aoi)
+
+    oracle.expected_assignments().to_parquet(
+        f"{OUT}/expected_assignments.parquet", index=False)
+    oracle.expected_join_counts().to_parquet(
+        f"{OUT}/expected_join_counts.parquet", index=False)
+
+    summary = oracle.expected_correction_summary(round_to=10)
+    summary["mean_px"] = summary["mean_px"].map(lambda v: half_up(v, 3))
+    summary.to_parquet(f"{OUT}/expected_corrections.parquet", index=False)
+
+    met = oracle.expected_metrics()
+    met["value"] = met["value"].map(lambda v: half_up(v, 4))
+    met.to_parquet(f"{OUT}/expected_metrics.parquet", index=False)
+
+    ranks = []
+    raw = oracle.expected_metrics()
+    for gid in sorted(raw["group_id"].unique()):
+        r = trank.rank_scores(
+            raw[raw["group_id"] == gid][["method", "band", "metric_id", "value"]])
+        r.insert(0, "group_id", int(gid))
+        r.insert(1, "rnk", range(1, len(r) + 1))
+        r["score"] = r["score"].map(lambda v: half_up(v, 3))
+        ranks.append(r)
+    pd.concat(ranks, ignore_index=True).to_parquet(
+        f"{OUT}/expected_rank.parquet", index=False)
+
+    # thumbnails / captions / phash (decode-level expectations)
+    rows = []
+    for _, r in images.iterrows():
+        px = codecs.decode(r["bytes"], r["fmt"], BANDS, IMG_H, IMG_W)
+        band = np.nan_to_num(px[0].astype(np.float64))
+        rows.append({
+            "image_id": r["image_id"], "caption": r["caption"],
+            "mean_px": half_up(float(band.mean()), 4),
+        })
+    pd.DataFrame(rows).to_parquet(f"{OUT}/expected_images.parquet", index=False)
+
+    # DEM feature checksums per dem_id
+    drows = []
+    for k, (slope, aspect, lum) in sorted(oracle.feats.items()):
+        drows.append({
+            "dem_id": f"dem_{k}",
+            "n_cells": int(slope.size // (TILE * TILE)),
+            "slope_sum": half_up(float(slope.astype(np.float64).sum()), 2),
+            "lum_sum": half_up(float(lum.astype(np.float64).sum()), 2),
+        })
+    pd.DataFrame(drows).to_parquet(f"{OUT}/expected_dem.parquet", index=False)
+    print("wrote expected tables to", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 import zlib
 from dataclasses import dataclass, field
+from decimal import ROUND_HALF_UP, Decimal
 
 SEED = 42
 TILE = 64                    # tile edge in pixels
@@ -94,6 +95,13 @@ def zero_noise(image_id: str, band: int, method: str) -> float:
     """
     h = zlib.crc32(f"{image_id}|{band}|{method}".encode())
     return 0.0001 + 0.000001 * (1 + h % 99)
+
+
+def half_up(x: float, nd: int) -> float:
+    """Deterministic HALF_UP rounding -- matches Spark's ROUND semantics
+    (python's round() is banker's rounding and would diverge)."""
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal("1." + "0" * nd), rounding=ROUND_HALF_UP))
 
 
 DEFAULT_PARAMS = CorrectionParams()

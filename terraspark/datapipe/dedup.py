@@ -1,0 +1,107 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, token Jaccard.
+
+Designed for 100TB corpora: every stage is (explode -> hash -> groupBy) with
+map-side partial aggregation; candidate generation is LSH-band bucketing so
+the quadratic pairwise step only runs inside buckets.  Hashing uses md5 (hex
+string) so the DuckDB oracle computes bit-identical values.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_SEEDS = 8
+LSH_BAND_SIZE = 2            # 8 hashes -> 4 bands of 2
+
+
+def exact_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level exact-dup stats: (n_docs, n_unique, n_dup_groups)."""
+    h = docs.select(F.md5("text").alias("h"))
+    per = h.groupBy("h").count()
+    return per.agg(
+        F.sum("count").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_groups"),
+    )
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+
+
+def minhash_signature(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(doc_id, seed, minhash): min md5(token || '_' || seed) over the
+    document's distinct unigram shingles."""
+    toks = _tokens(docs)
+    sig = None
+    per_seed = toks.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(s) for s in range(seeds)])).alias("seed"),
+        "tok",
+    ).groupBy("doc_id", "seed").agg(
+        F.min(F.md5(F.concat_ws("_", "tok", "seed"))).alias("minhash"))
+    return per_seed
+
+
+def lsh_buckets(signatures: DataFrame,
+                band_size: int = LSH_BAND_SIZE) -> DataFrame:
+    """(doc_id, band, bucket): bucket = md5 of the band's concatenated
+    minhashes (seeds ordered)."""
+    return (signatures
+            .withColumn("band", (F.col("seed") / band_size).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(F.md5(F.concat_ws("|", F.array_sort(
+                F.collect_list(F.concat_ws(":", "seed", "minhash")))))
+                .alias("bucket")))
+
+
+def candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket."""
+    a = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (a.join(b, ["band", "bucket"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over unigram tokens (bag semantics).
+
+    Bit j of a token's hash = high bit of hex digit j of md5(token); the
+    document bit is 1 when the +/-1 vote sum is positive.  Chosen so the
+    identical computation is expressible in ANSI SQL (substr + CASE).
+    """
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select("doc_id", F.md5("tok").alias("h"))
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring("h", j + 1, 1).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .alias(f"v{j}") for j in range(16)
+    ])
+    sim = None
+    expr = F.lit(0).cast("long")
+    for j in range(16):
+        expr = expr + F.when(F.col(f"v{j}") > 0,
+                             F.lit(1 << (15 - j))).otherwise(0).cast("long")
+    return votes.select("doc_id", expr.alias("simhash"))
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Unigram-set Jaccard similarity for given candidate pairs."""
+    toks = _tokens(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (pairs.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_inter")
+                            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                            6).alias("jaccard")))

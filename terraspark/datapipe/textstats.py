@@ -1,0 +1,83 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure JVM-side column expressions (no Python UDFs): they
+stay inside whole-stage codegen and scale linearly with no shuffle except
+the final aggregations.  Each has an exact DuckDB-SQL twin in
+__spark_entry__.py for the driver's correctness gate.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (deterministic heuristic language ID)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "en", "que", "pour", "dans"],
+}
+
+PUNCT_CLASS = "[^.,!?;]"
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count per document (BPE-ish proxy: tokens plus a
+    4-chars-per-token estimate)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        (F.length("text") / 4).cast("int").alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / mean-word-length quality signals with a
+    combined score, rounded for stable comparison."""
+    toks = F.size(F.split(F.col("text"), " "))
+    punct = F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
+    mean_wl = (F.length(F.regexp_replace(F.col("text"), " ", "")) / toks)
+    score = (
+        F.when(toks.between(5, 100000), 0.5).otherwise(0.0)
+        + F.when((punct / F.length("text")) < 0.1, 0.25).otherwise(0.0)
+        + F.when(mean_wl.between(2.0, 12.0), 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.round(punct / F.length("text"), 5).alias("punct_ratio"),
+        F.round(mean_wl, 5).alias("mean_word_len"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio per language, argmax with
+    (ratio desc, lang asc) tie-break -- fully deterministic."""
+    tok = F.explode(F.split(F.col("text"), " ")).alias("tok")
+    exploded = docs.select("doc_id", tok)
+    scores = exploded.groupBy("doc_id").agg(*[
+        F.round(F.avg(F.when(F.col("tok").isin(words), 1.0).otherwise(0.0)), 6)
+        .alias(f"score_{lang}")
+        for lang, words in STOPWORDS.items()
+    ])
+    pairs = F.array(*[
+        F.struct(F.col(f"score_{lang}").alias("score"),
+                 F.lit(lang).alias("lang"))
+        for lang in STOPWORDS
+    ])
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a.score > b.score, -1)
+        .when(a.score < b.score, 1)
+        .when(a.lang < b.lang, -1).when(a.lang > b.lang, 1).otherwise(0),
+    )[0]
+    return scores.select("doc_id", best.score.alias("best_score"),
+                         best.lang.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (deterministic, dialect-portable)."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -1,0 +1,82 @@
+"""Driver-contract simulation: every queries() entry vs its oracle_sql()
+via DuckDB at sf0.01 -- row count, schema (column names), and value match
+(exact for ints/strings/bools, 1e-9 for floats after both sides' rounding).
+"""
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(int)
+        else:
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ALL = sorted(E.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_vs_oracle(spark, duck, name):
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    got = qs[name](spark, SF_DIR).toPandas()
+    assert name in oracles, f"no oracle for {name}"
+    exp = duck.sql(oracles[name]).df()
+    assert sorted(c.lower() for c in got.columns) == \
+        sorted(c.lower() for c in exp.columns), \
+        f"{name}: columns {list(got.columns)} vs {list(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    g, e = _canon(got), _canon(exp)
+    for c in g.columns:
+        if np.issubdtype(g[c].dtype, np.floating):
+            ok = np.isclose(g[c].to_numpy(), e[c].to_numpy(),
+                            atol=1e-9, rtol=0, equal_nan=True)
+        else:
+            ok = (g[c].to_numpy() == e[c].to_numpy())
+        if not ok.all():
+            bad = np.where(~ok)[0][:5]
+            raise AssertionError(
+                f"{name}.{c}: {len(bad)} mismatches, e.g. "
+                f"{g[c].iloc[bad].tolist()} vs {e[c].iloc[bad].tolist()}")
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"image_id", "band", "method", "n_valid", "mean_px"} <= \
+        set(df.columns)
