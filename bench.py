@@ -1,0 +1,180 @@
+"""Benchmark harness.
+
+Default mode: runs the headline suite on local[$SPARK_GRAFT_CPUS] and
+prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "tiles_per_sec": ..., "join_rows_per_sec": ...}
+
+Headline suite:
+  * image pipeline at bench scale (deterministic fixtures written once to
+    parquet under /tmp/terraspark_bench): decode -> tile -> cell-index ->
+    DEM halo features -> join -> distributed scalars -> all 11 correction
+    kernels; reports corrected tiles/sec and join rows/sec (BASELINE.json
+    metric).
+  * datapipe + relational queries at $SPARK_GRAFT_SF_DIR.
+
+--scaling: runs the identical image pipeline at local[8] and local[32] on
+the same parquet input and writes BENCH/BASELINE.md with throughput at both
+plus efficiency = (T_8 / T_32) / 4 (the sandbox substitute for N vs 4N
+executors; target >= 0.8 per BASELINE.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_IMAGES = int(os.environ.get("TERRASPARK_BENCH_IMAGES", "128"))
+BENCH_DIR = os.environ.get("TERRASPARK_BENCH_DIR", "/tmp/terraspark_bench")
+
+
+def ensure_bench_tables(n_images: int) -> str:
+    """Write deterministic fixture tables to parquet once (input prep,
+    excluded from timings)."""
+    out = os.path.join(BENCH_DIR, f"n{n_images}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    from terraspark.fixtures import build_tables
+    os.makedirs(out, exist_ok=True)
+    images, scenes, dem, aoi, _ = build_tables(n_images)
+    images.to_parquet(f"{out}/images.parquet", index=False)
+    scenes.to_parquet(f"{out}/scenes.parquet", index=False)
+    dem.to_parquet(f"{out}/dem.parquet", index=False)
+    aoi.to_parquet(f"{out}/aoi.parquet", index=False)
+    open(marker, "w").write("ok")
+    return out
+
+
+def run_image_pipeline(spark, data_dir: str) -> dict:
+    """Cold-run the full correction pipeline; returns timings + throughput."""
+    from pyspark.sql import functions as F
+    from terraspark.pipeline import TopoEngine
+
+    images = spark.read.parquet(f"{data_dir}/images.parquet")
+    scenes = spark.read.parquet(f"{data_dir}/scenes.parquet")
+    dem = spark.read.parquet(f"{data_dir}/dem.parquet")
+
+    eng = TopoEngine(spark)
+    t0 = time.time()
+    joined = eng.joined(images, scenes, dem)
+    join_rows = joined.count()
+    t_join = time.time() - t0
+
+    t1 = time.time()
+    sc = eng.scalars(joined)
+    t_stats = time.time() - t1
+
+    t2 = time.time()
+    from terraspark import corrections
+    from terraspark.config import METHODS
+    corrected = corrections.apply_corrections(joined, sc, METHODS,
+                                              eng.params, eng.tile)
+    corrected_rows = corrected.count()
+    t_correct = time.time() - t2
+    total = time.time() - t0
+    eng.unpersist()
+    return {
+        "join_rows": join_rows, "corrected_rows": corrected_rows,
+        "t_join": round(t_join, 3), "t_stats": round(t_stats, 3),
+        "t_correct": round(t_correct, 3), "t_total": round(total, 3),
+        "tiles_per_sec": round(corrected_rows / total, 1),
+        "join_rows_per_sec": round(join_rows / t_join, 1),
+    }
+
+
+def run_datapipe(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as E
+    qs = E.queries()
+    picks = ["dp_dedup_exact", "dp_simhash", "dp_fingerprint", "dp_ann_topk",
+             "rel_tpch_q1", "rel_rose_means", "rel_stats_bundle",
+             "rel_rank_topk", "rel_broadcast_join_agg"]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_default():
+    from terraspark.session import build_session
+    data_dir = ensure_bench_tables(BENCH_IMAGES)
+    spark = build_session("terraspark-bench", cores=CPUS)
+    img = run_image_pipeline(spark, data_dir)
+    dp = run_datapipe(spark, SF_DIR)
+    spark.stop()
+    queries = {"image_pipeline_total": img["t_total"],
+               "image_join": img["t_join"],
+               "image_scalar_stats": img["t_stats"],
+               "image_correct_11methods": img["t_correct"], **dp}
+    total = round(sum(queries.values()), 3)
+    sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+    print(json.dumps({
+        "metric": "corrected tiles/sec + join rows/sec (image pipeline, "
+                  f"{BENCH_IMAGES} imgs x 4 bands x 16 tiles x 11 methods) "
+                  "+ datapipe suite",
+        "value": total, "unit": "sec", "queries": queries, "sf": sf,
+        "tiles_per_sec": img["tiles_per_sec"],
+        "join_rows_per_sec": img["join_rows_per_sec"],
+        "corrected_rows": img["corrected_rows"],
+        "join_rows": img["join_rows"],
+        "cpus": CPUS,
+    }))
+
+
+def main_scaling():
+    from terraspark.session import build_session
+    data_dir = ensure_bench_tables(BENCH_IMAGES)
+    results = {}
+    for cores in (8, 32):
+        spark = build_session(f"terraspark-scale-{cores}", cores=cores,
+                              shuffle_partitions=max(32, cores * 2))
+        results[cores] = run_image_pipeline(spark, data_dir)
+        spark.stop()
+        time.sleep(2)
+    r8, r32 = results[8], results[32]
+    eff = (r8["t_total"] / r32["t_total"]) / 4.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured throughput + scaling efficiency
+
+Input: deterministic fixture tables, {BENCH_IMAGES} images x 4 bands x 16
+tiles (= {BENCH_IMAGES * 64} tile rows/band-set), full pipeline
+decode -> tile -> cell-index -> DEM halo features -> broadcast cell join ->
+distributed scalar regressions -> ALL 11 correction kernels.
+Same parquet input at both parallelism levels (sandbox substitute for
+N vs 4N executors per the driver's two-cluster-size rule).
+
+| config | join rows | join rows/sec | corrected tiles | tiles/sec | total sec |
+|---|---|---|---|---|---|
+| local[8]  | {r8['join_rows']} | {r8['join_rows_per_sec']} | {r8['corrected_rows']} | {r8['tiles_per_sec']} | {r8['t_total']} |
+| local[32] | {r32['join_rows']} | {r32['join_rows_per_sec']} | {r32['corrected_rows']} | {r32['tiles_per_sec']} | {r32['t_total']} |
+
+**Scaling efficiency (8 -> 32 cores, 4x):**
+efficiency = (T_8 / T_32) / 4 = ({r8['t_total']} / {r32['t_total']}) / 4
+= **{eff:.3f}** (target >= 0.8 per BASELINE.json)
+
+Phase breakdown (sec):
+
+| config | join | scalar stats | correct x11 |
+|---|---|---|---|
+| local[8]  | {r8['t_join']} | {r8['t_stats']} | {r8['t_correct']} |
+| local[32] | {r32['t_join']} | {r32['t_stats']} | {r32['t_correct']} |
+""")
+    print(json.dumps({"efficiency": round(eff, 3),
+                      "local8": r8, "local32": r32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_default()

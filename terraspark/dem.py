@@ -147,39 +147,80 @@ def assemble_padded(z: np.ndarray, strips: dict[str, np.ndarray],
     return zp
 
 
-def _make_assembler(tile: int, params: CorrectionParams):
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        center = pdf[pdf["role"] == "C"]
-        if not len(center):      # halo addressed to a cell with no DEM tile
-            return pd.DataFrame(columns=[
-                "dem_id", "cell", "tile_x", "tile_y", "lat", "lon",
-                "slope", "aspect", "lum"])
-        crow = center.iloc[0]
-        z = np.frombuffer(crow["data"], dtype="<f4").reshape(tile, tile)
-        z = z.astype(np.float64)
-        strips = {
-            r.role: np.frombuffer(r.data, dtype="<f4").astype(np.float64)
-            for r in pdf.itertuples(index=False) if r.role != "C"
-        }
-        zp = assemble_padded(z, strips, tile)
-        slope = slope_radians(zp, params.pixel_size_m)
-        aspect = aspect_radians(zp, params.pixel_size_m)
-        lum = luminance(slope, aspect, params)
-        return pd.DataFrame([{
-            "dem_id": key[0], "cell": int(key[1]),
-            "tile_x": int(crow["tile_x"]), "tile_y": int(crow["tile_y"]),
-            "lat": float(crow["lat"]), "lon": float(crow["lon"]),
-            "slope": np.ascontiguousarray(slope, dtype="<f4").tobytes(),
-            "aspect": np.ascontiguousarray(aspect, dtype="<f4").tobytes(),
-            "lum": np.ascontiguousarray(lum, dtype="<f4").tobytes(),
-        }])
-    return assemble
+def _assemble_group(dem_id, target, g: pd.DataFrame, tile: int,
+                    params: CorrectionParams, out: dict):
+    roles = g["role"].to_numpy()
+    cidx = np.where(roles == "C")[0]
+    if not len(cidx):            # halo addressed to a cell with no DEM tile
+        return
+    crow = g.iloc[cidx[0]]
+    z = np.frombuffer(crow["data"], dtype="<f4").reshape(tile, tile) \
+        .astype(np.float64)
+    data = g["data"].to_numpy()
+    strips = {roles[i]: np.frombuffer(data[i], dtype="<f4").astype(np.float64)
+              for i in range(len(g)) if roles[i] != "C"}
+    zp = assemble_padded(z, strips, tile)
+    slope = slope_radians(zp, params.pixel_size_m)
+    aspect = aspect_radians(zp, params.pixel_size_m)
+    lum = luminance(slope, aspect, params)
+    out["dem_id"].append(dem_id)
+    out["cell"].append(int(target))
+    out["tile_x"].append(int(crow["tile_x"]))
+    out["tile_y"].append(int(crow["tile_y"]))
+    out["lat"].append(float(crow["lat"]))
+    out["lon"].append(float(crow["lon"]))
+    out["slope"].append(np.ascontiguousarray(slope, dtype="<f4").tobytes())
+    out["aspect"].append(np.ascontiguousarray(aspect, dtype="<f4").tobytes())
+    out["lum"].append(np.ascontiguousarray(lum, dtype="<f4").tobytes())
+
+
+_OUT_COLS = ("dem_id", "cell", "tile_x", "tile_y", "lat", "lon",
+             "slope", "aspect", "lum")
+
+
+def _make_partition_assembler(tile: int, params: CorrectionParams):
+    """Process a whole sorted partition: groups are contiguous, so we buffer
+    only the possibly-incomplete trailing group across Arrow batches --
+    ONE Python call per partition instead of one per (dem_id, cell) group."""
+
+    def run(batches):
+        leftover = None
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_dem = pdf["dem_id"].iat[-1]
+            last_tgt = pdf["target"].iat[-1]
+            tail = (pdf["dem_id"] == last_dem) & (pdf["target"] == last_tgt)
+            leftover = pdf[tail]
+            head = pdf[~tail]
+            if not len(head):
+                continue
+            out = {k: [] for k in _OUT_COLS}
+            for (d, t), g in head.groupby(["dem_id", "target"], sort=False):
+                _assemble_group(d, t, g, tile, params, out)
+            yield pd.DataFrame(out)
+        if leftover is not None and len(leftover):
+            out = {k: [] for k in _OUT_COLS}
+            for (d, t), g in leftover.groupby(["dem_id", "target"], sort=False):
+                _assemble_group(d, t, g, tile, params, out)
+            yield pd.DataFrame(out)
+
+    return run
 
 
 def derive_features(dem: DataFrame, params: CorrectionParams,
-                    tile: int = TILE) -> DataFrame:
+                    tile: int = TILE,
+                    partitions: int | None = None) -> DataFrame:
     """dem(dem_id, cell, tile_x, tile_y, lat, lon, elev) ->
-    (dem_id, cell, ..., slope, aspect, lum) -- one shuffle, no skew."""
+    (dem_id, cell, ..., slope, aspect, lum) -- one shuffle, no skew:
+    the halo rows are hash-repartitioned by (dem_id, target) and sorted
+    within partitions so each (dem_id, cell) group is contiguous."""
+    if partitions is None:
+        partitions = dem.sparkSession.sparkContext.defaultParallelism * 2
     halo = dem.mapInPandas(lambda it: _emit_halo(it, tile), schema=HALO_SCHEMA)
-    return halo.groupBy("dem_id", "target").applyInPandas(
-        _make_assembler(tile, params), schema=FEATURES_SCHEMA)
+    shuffled = halo.repartition(partitions, "dem_id", "target") \
+                   .sortWithinPartitions("dem_id", "target")
+    return shuffled.mapInPandas(_make_partition_assembler(tile, params),
+                                schema=FEATURES_SCHEMA)

@@ -53,6 +53,14 @@ class TopoEngine:
         tiles = self.tiles(images, scenes)
         feats = self._features or self.dem_features(dem_df)
         j = corrections.join_dem(tiles, feats, self.broadcast_dem)
+        # Explicit repartition before the (reused) persist: the broadcast
+        # join preserves the scan's few fat partitions; the downstream
+        # scalar-stats and kernel stages want uniform, core-saturating
+        # partitions.  Keyed by tile identity -- spreads FIXTURES.md's hot
+        # cells (8 images stacked on one anchor cell) across tasks, the
+        # explicit skew handling the north rule asks for.
+        j = j.repartition(self.spark.sparkContext.defaultParallelism * 2,
+                          "image_id", "band", "tile_x", "tile_y")
         if persist:
             j = j.persist(StorageLevel.MEMORY_AND_DISK)
         self._joined = j

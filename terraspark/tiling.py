@@ -76,14 +76,21 @@ def _tile_batches(batches: Iterator[pd.DataFrame], tile: int, cell_res: int,
 
 
 def tile_images(images: DataFrame, scenes: DataFrame, tile: int = TILE,
-                cell_res: int = CELL_RES, bands: int = 4) -> DataFrame:
+                cell_res: int = CELL_RES, bands: int = 4,
+                input_partitions: int | None = None) -> DataFrame:
     """images (input_hint schema) x scenes (georeference dim) -> tile rows.
 
     The scenes join is a broadcast hash join (tiny dimension table); the
-    heavy decode work happens after it so the single shuffle-free map stage
-    does decode -> tile -> cell-assign in one pass.
+    heavy decode work happens after it in one map stage (decode -> tile ->
+    cell-assign).  Images are explicitly repartitioned first: parquet scans
+    of fat binary rows yield few input splits, which would serialize the
+    decode across a handful of tasks (at cluster scale the scan naturally
+    has many splits; locally this keeps all cores busy).
     """
-    src = images.join(F.broadcast(scenes), "image_id", "inner")
+    if input_partitions is None:
+        input_partitions = images.sparkSession.sparkContext.defaultParallelism * 2
+    src = images.repartition(input_partitions) \
+                .join(F.broadcast(scenes), "image_id", "inner")
     return src.mapInPandas(
         lambda it: _tile_batches(it, tile, cell_res, bands),
         schema=TILE_SCHEMA)
