@@ -69,6 +69,25 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
             .where(F.col("rn") == 1).select("vec_id", "centroid_id"))
 
 
+def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
+                  n_centroids: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by IVF cell: the
+    quadratic comparison only runs inside each centroid's bucket (the
+    embedding analogue of LSH banding).  Returns (vec_a < vec_b, cos)."""
+    assign = ivf_assign(embeddings, n_centroids)
+    e = with_double_vec(embeddings).join(assign, "vec_id")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+                 "centroid_id")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+                 "centroid_id")
+    pairs = a.join(b, "centroid_id").where(F.col("vec_a") < F.col("vec_b"))
+    cos = (_dot(F.col("va"), F.col("vb"))
+           / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    return (pairs.select("vec_a", "vec_b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list, k: int = 5,
              n_centroids: int = 8) -> DataFrame:
     """ANN: search only the query's IVF cell."""
