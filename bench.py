@@ -156,11 +156,13 @@ def main_default():
 
 def main_scaling():
     from terraspark.session import build_session
-    data_dir = ensure_bench_tables(BENCH_IMAGES)
+    n = int(os.environ.get("TERRASPARK_SCALE_IMAGES", "512"))
+    data_dir = ensure_bench_tables(n)
     results = {}
     for cores in (8, 32):
+        # identical plan at both levels: same input, same partition counts
         spark = build_session(f"terraspark-scale-{cores}", cores=cores,
-                              shuffle_partitions=max(32, cores * 2))
+                              shuffle_partitions=64)
         results[cores] = run_image_pipeline(spark, data_dir)
         spark.stop()
         time.sleep(2)

@@ -56,6 +56,13 @@ def main():
     pd.concat(ranks, ignore_index=True).to_parquet(
         f"{OUT}/expected_rank.parquet", index=False)
 
+    rose = oracle.expected_rose()
+    rose["mean_value"] = rose["mean_value"].map(lambda v: half_up(v, 4))
+    rose.to_parquet(f"{OUT}/expected_rose.parquet", index=False)
+
+    oracle.expected_hist2d().to_parquet(
+        f"{OUT}/expected_hist2d.parquet", index=False)
+
     # thumbnails / captions / phash (decode-level expectations)
     rows = []
     for _, r in images.iterrows():

@@ -47,7 +47,7 @@ CORRECTED_SCHEMA = (
 
 
 def join_dem(tiles: DataFrame, dem_features: DataFrame,
-             broadcast_dem: bool = True) -> DataFrame:
+             broadcast_dem: bool = True, with_aspect: bool = False) -> DataFrame:
     """Equi-join tile rows to DEM features on the cell key.
 
     ``broadcast_dem=True`` is the 100TB-design default when the DEM side is
@@ -56,11 +56,11 @@ def join_dem(tiles: DataFrame, dem_features: DataFrame,
     hot-cell skew on the probe side.  With ``False`` Spark plans a shuffle
     join and AQE's skew-join splitting handles stragglers.
     """
-    feats = dem_features.select(
-        "cell",
-        F.col("slope").alias("slope_px"),
-        F.col("lum").alias("lum_px"),
-    )
+    cols = ["cell", F.col("slope").alias("slope_px"),
+            F.col("lum").alias("lum_px")]
+    if with_aspect:
+        cols.append(F.col("aspect").alias("aspect_px"))
+    feats = dem_features.select(*cols)
     if broadcast_dem:
         feats = F.broadcast(feats)
     return tiles.join(feats, "cell", "inner")

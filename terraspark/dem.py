@@ -218,7 +218,8 @@ def derive_features(dem: DataFrame, params: CorrectionParams,
     the halo rows are hash-repartitioned by (dem_id, target) and sorted
     within partitions so each (dem_id, cell) group is contiguous."""
     if partitions is None:
-        partitions = dem.sparkSession.sparkContext.defaultParallelism * 2
+        partitions = int(
+            dem.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     halo = dem.mapInPandas(lambda it: _emit_halo(it, tile), schema=HALO_SCHEMA)
     shuffled = halo.repartition(partitions, "dem_id", "target") \
                    .sortWithinPartitions("dem_id", "target")

@@ -72,6 +72,40 @@ def explode_pixels(df: DataFrame, tile: int = TILE,
     return df.mapInPandas(gen, schema=PIXELS_SCHEMA)
 
 
+TERRAIN_PIXELS_SCHEMA = ("group_id int, method string, band int, "
+                         "value double, slope_deg double, aspect_deg double")
+
+
+def explode_pixels_terrain(df: DataFrame, tile: int = TILE) -> DataFrame:
+    """Tile rows (px + slope_px + aspect_px) -> pixel rows with terrain in
+    DEGREES (the rose diagram evaluates degree bins,
+    rose_diagram_eval.py:291-297 calculate_slope(in_radians=False))."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = tile * tile
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = np.frombuffer(b"".join(pdf["px"].tolist()),
+                               dtype="<f4").reshape(len(pdf), n)
+            sl = np.frombuffer(b"".join(pdf["slope_px"].tolist()),
+                               dtype="<f4").reshape(len(pdf), n)
+            asp = np.frombuffer(b"".join(pdf["aspect_px"].tolist()),
+                                dtype="<f4").reshape(len(pdf), n)
+            finite = np.isfinite(px)
+            rows = np.repeat(np.arange(len(pdf)), finite.sum(axis=1))
+            yield pd.DataFrame({
+                "group_id": pdf["group_id"].to_numpy()[rows],
+                "method": pdf["method"].to_numpy()[rows],
+                "band": pdf["band"].to_numpy()[rows],
+                "value": px[finite].astype(np.float64),
+                "slope_deg": np.degrees(sl[finite].astype(np.float64)),
+                "aspect_deg": np.degrees(asp[finite].astype(np.float64)),
+            })
+
+    return df.mapInPandas(gen, schema=TERRAIN_PIXELS_SCHEMA)
+
+
 def evaluate_metrics(pixels: DataFrame) -> DataFrame:
     """Long metric table (group_id, method, band, metric_id, value).
 
@@ -158,4 +192,5 @@ def rose_means(pixels_with_terrain: DataFrame, slope_step_deg: float = 30.0,
         F.floor(F.col("slope_deg") / slope_step_deg).cast("int").alias("slope_bin"),
         F.floor(F.col("aspect_deg") / aspect_step_deg).cast("int").alias("aspect_bin"),
         "group_id", "method", "band")
-        .agg(F.mean("value").alias("mean_value")))
+        .agg(F.mean("value").alias("mean_value"),
+             F.count("*").alias("n")))

@@ -59,8 +59,9 @@ class TopoEngine:
         # partitions.  Keyed by tile identity -- spreads FIXTURES.md's hot
         # cells (8 images stacked on one anchor cell) across tasks, the
         # explicit skew handling the north rule asks for.
-        j = j.repartition(self.spark.sparkContext.defaultParallelism * 2,
-                          "image_id", "band", "tile_x", "tile_y")
+        j = j.repartition(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+            "image_id", "band", "tile_x", "tile_y")
         if persist:
             j = j.persist(StorageLevel.MEMORY_AND_DISK)
         self._joined = j

@@ -245,6 +245,84 @@ class OracleRun:
                                      "value": val})
         return pd.DataFrame(rows)
 
+    def _terrain_tile(self, image_id: str, which: int, tile_x: int,
+                      tile_y: int):
+        """which: 0=slope, 1=aspect, 2=luminance (radians/cos-i float32)."""
+        hill, y0, x0 = self._windows[image_id]
+        arr = self.feats[hill][which]
+        return arr[y0 + tile_y * TILE:y0 + (tile_y + 1) * TILE,
+                   x0 + tile_x * TILE:x0 + (tile_x + 1) * TILE]
+
+    def _orig_group_arrays(self):
+        """Per (group_id, band): concatenated (dn, lum, slope_deg,
+        aspect_deg) over finite original pixels."""
+        groups = self.tile_groups()
+        out = {}
+        for (gid, iid), gtiles in groups.groupby(["group_id", "image_id"]):
+            px = self._decoded[iid]
+            for t in gtiles.itertuples(index=False):
+                sl = np.degrees(self._terrain_tile(iid, 0, t.tile_x, t.tile_y)
+                                .astype(np.float64)).ravel()
+                asp = np.degrees(self._terrain_tile(iid, 1, t.tile_x, t.tile_y)
+                                 .astype(np.float64)).ravel()
+                lu = self._terrain_tile(iid, 2, t.tile_x, t.tile_y) \
+                    .astype(np.float64).ravel()
+                for b in range(BANDS):
+                    v = px[b][t.tile_y * TILE:(t.tile_y + 1) * TILE,
+                              t.tile_x * TILE:(t.tile_x + 1) * TILE] \
+                        .astype(np.float64).ravel()
+                    fin = np.isfinite(v)
+                    d = out.setdefault((int(gid), b),
+                                       {"v": [], "lum": [], "sl": [], "asp": []})
+                    d["v"].append(v[fin])
+                    d["lum"].append(lu[fin])
+                    d["sl"].append(sl[fin])
+                    d["asp"].append(asp[fin])
+        return {k: {kk: np.concatenate(vv) for kk, vv in d.items()}
+                for k, d in out.items()}
+
+    def expected_rose(self, slope_step: float = 30.0,
+                      aspect_step: float = 10.0) -> pd.DataFrame:
+        """A13 rose-diagram bins: (slope//step, aspect//step) -> mean DN of
+        the ORIGINAL image per group/band (rose_diagram_eval.py:104-106,
+        224-233; non-empty bins only -- the engine's groupBy analogue of
+        npg.aggregate's dense fill)."""
+        rows = []
+        for (gid, b), d in sorted(self._orig_group_arrays().items()):
+            sb = np.floor(d["sl"] / slope_step).astype(int)
+            ab = np.floor(d["asp"] / aspect_step).astype(int)
+            key = sb * 10_000 + ab
+            for k in np.unique(key):
+                m = key == k
+                rows.append({
+                    "group_id": gid, "band": b,
+                    "slope_bin": int(k // 10_000), "aspect_bin": int(k % 10_000),
+                    "mean_value": float(d["v"][m].mean()),
+                    "n": int(m.sum()),
+                })
+        return pd.DataFrame(rows)
+
+    def expected_hist2d(self, bins: int = 50) -> pd.DataFrame:
+        """A12 luminance x DN 2-D histogram of the ORIGINAL image per
+        group/band (correlation_eval.py:93-98 semantics: lum range [0,1],
+        DN range [min,max]; same floor binning as the engine)."""
+        rows = []
+        for (gid, b), d in sorted(self._orig_group_arrays().items()):
+            v, lu = d["v"], d["lum"]
+            vmin, vmax = v.min(), v.max()
+            keep = (lu >= 0) & (lu <= 1) & (v >= vmin) & (v <= vmax)
+            bx = np.minimum(np.floor(lu[keep] * bins), bins - 1).astype(int)
+            by = np.minimum(np.floor((v[keep] - vmin)
+                                     / ((vmax - vmin) / bins)),
+                            bins - 1).astype(int)
+            key = bx * 10_000 + by
+            uk, cnt = np.unique(key, return_counts=True)
+            for k, c in zip(uk, cnt):
+                rows.append({"group_id": gid, "band": b,
+                             "bin_x": int(k // 10_000),
+                             "bin_y": int(k % 10_000), "count": int(c)})
+        return pd.DataFrame(rows)
+
     def expected_correction_summary(self, round_to: int = 3) -> pd.DataFrame:
         """Per (image, band, method): valid-pixel count + rounded mean --
         the aggregate the driver's DuckDB oracle compares hash-exactly."""

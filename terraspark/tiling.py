@@ -88,7 +88,8 @@ def tile_images(images: DataFrame, scenes: DataFrame, tile: int = TILE,
     has many splits; locally this keeps all cores busy).
     """
     if input_partitions is None:
-        input_partitions = images.sparkSession.sparkContext.defaultParallelism * 2
+        input_partitions = int(
+            images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     src = images.repartition(input_partitions) \
                 .join(F.broadcast(scenes), "image_id", "inner")
     return src.mapInPandas(
