@@ -25,7 +25,9 @@ def build_session(app: str = "terraspark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("TERRASPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory",
+                os.environ.get("TERRASPARK_DRIVER_MEM", "48g"))
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
