@@ -63,6 +63,11 @@ def main():
     oracle.expected_hist2d().to_parquet(
         f"{OUT}/expected_hist2d.parquet", index=False)
 
+    cs = oracle.expected_cell_stats()
+    for c in ("mean", "std", "vmin", "vmax"):
+        cs[c] = cs[c].map(lambda v: half_up(v, 4))
+    cs.to_parquet(f"{OUT}/expected_cell_stats.parquet", index=False)
+
     # thumbnails / captions / phash (decode-level expectations)
     rows = []
     for _, r in images.iterrows():

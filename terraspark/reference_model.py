@@ -323,6 +323,30 @@ class OracleRun:
                              "bin_y": int(k % 10_000), "count": int(c)})
         return pd.DataFrame(rows)
 
+    def expected_cell_stats(self) -> pd.DataFrame:
+        """Raster->vector: per (cell, method, band) aggregate stats of the
+        corrected pixels (independent numpy path: np.mean/np.std on the
+        concatenated arrays)."""
+        assign = self.expected_assignments()
+        acc: dict[tuple, list] = {}
+        for t in assign.itertuples(index=False):
+            for m in self.methods:
+                arr = self._corrected[t.image_id][m]
+                for b in range(BANDS):
+                    v = arr[b][t.tile_y * TILE:(t.tile_y + 1) * TILE,
+                               t.tile_x * TILE:(t.tile_x + 1) * TILE].ravel()
+                    acc.setdefault((t.cell, m, b), []).append(
+                        v[np.isfinite(v)].astype(np.float64))
+        rows = []
+        for (cell, m, b), chunks in sorted(acc.items()):
+            v = np.concatenate(chunks)
+            rows.append({
+                "cell": int(cell), "method": m, "band": b, "n": int(v.size),
+                "mean": float(v.mean()), "std": float(np.std(v)),
+                "vmin": float(v.min()), "vmax": float(v.max()),
+            })
+        return pd.DataFrame(rows)
+
     def expected_correction_summary(self, round_to: int = 3) -> pd.DataFrame:
         """Per (image, band, method): valid-pixel count + rounded mean --
         the aggregate the driver's DuckDB oracle compares hash-exactly."""

@@ -1,0 +1,94 @@
+"""Sink-side operators: band merge (S7), partitioned tile sink (S6),
+per-cell statistics (raster -> vector).
+
+S7 band merge: the reference stacks per-band GeoTIFFs into one multiband
+raster via gdal:merge SEPARATE=True and casts to the input's type
+(/root/reference/processing_alg/execution_context.py:296-323,
+TopoCorrectionAlgorithm.py:56-57).  In the engine bands are rows, so the
+merge is a groupBy collecting the band blocks into an ordered array -- one
+shuffle keyed by (image_id, method, tile_x, tile_y), uniform keys.
+
+S6 sink: corrected tiles written as parquet partitioned by a cell bucket
+(the Iceberg-table analogue available in this container; swap
+``.writeTo(...iceberg...)`` when a catalog is present).
+
+Per-cell stats: the raster->vector conversion from the north star -- each
+cell becomes a feature row with aggregate statistics of the corrected
+pixels that fall in it.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import TILE
+
+
+def merge_bands(corrected: DataFrame) -> DataFrame:
+    """(image, method, tile) rows with per-band px -> one row with
+    ``bands array<binary>`` ordered by band index (S7)."""
+    return (corrected
+            .groupBy("image_id", "caption", "method", "tile_x", "tile_y",
+                     "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("band", "px")))
+                 .alias("_b"))
+            .select("image_id", "caption", "method", "tile_x", "tile_y",
+                    "cell",
+                    F.transform("_b", lambda s: s.px).alias("bands"),
+                    F.size("_b").alias("n_bands")))
+
+
+def write_corrected(corrected: DataFrame, path: str, buckets: int = 64,
+                    mode: str = "overwrite") -> None:
+    """S6: partitioned, pruned-scannable sink for corrected tiles."""
+    (corrected
+     .withColumn("cell_bucket",
+                 F.pmod(F.xxhash64("cell"), F.lit(buckets)).cast("int"))
+     .write.partitionBy("cell_bucket", "method").mode(mode).parquet(path))
+
+
+CELL_STATS_PARTIAL = ("cell long, method string, band int, n long, "
+                      "s double, ss double, vmin double, vmax double")
+
+
+def cell_stats(corrected: DataFrame, tile: int = TILE,
+               round_to: int = 4) -> DataFrame:
+    """Per-cell aggregate statistics of corrected pixels (raster->vector):
+    (cell, method, band) -> n, mean, std_pop, min, max.  Tile-level partial
+    sums (map-side) then one small groupBy -- never explodes pixels."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = tile * tile
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = np.frombuffer(b"".join(pdf["px"].tolist()),
+                               dtype="<f4").reshape(len(pdf), n) \
+                .astype(np.float64)
+            fin = np.isfinite(px)
+            cnt = fin.sum(axis=1)
+            z = np.where(fin, px, 0.0)
+            yield pd.DataFrame({
+                "cell": pdf["cell"], "method": pdf["method"],
+                "band": pdf["band"], "n": cnt.astype("int64"),
+                "s": z.sum(axis=1), "ss": (z * z).sum(axis=1),
+                "vmin": np.where(fin, px, np.inf).min(axis=1),
+                "vmax": np.where(fin, px, -np.inf).max(axis=1),
+            })
+
+    p = corrected.mapInPandas(partials, schema=CELL_STATS_PARTIAL)
+    g = p.groupBy("cell", "method", "band").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss"),
+        F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"))
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    return g.select(
+        "cell", "method", "band", "n",
+        F.round(mean, round_to).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to).alias("std"),
+        F.round("vmin", round_to).alias("vmin"),
+        F.round("vmax", round_to).alias("vmax"))
