@@ -154,18 +154,43 @@ def main_default():
     }))
 
 
-def main_scaling():
+def main_single(cores: int):
+    """One pinned measurement (invoked under `taskset -c 0-(N-1)`)."""
     from terraspark.session import build_session
     n = int(os.environ.get("TERRASPARK_SCALE_IMAGES", "512"))
     data_dir = ensure_bench_tables(n)
+    spark = build_session(f"terraspark-scale-{cores}", cores=cores,
+                          shuffle_partitions=64)
+    r = run_image_pipeline(spark, data_dir)
+    spark.stop()
+    print("RESULT " + json.dumps(r))
+
+
+def main_scaling():
+    """local[N] pinned to exactly N cores via taskset: `local[N]` alone
+    bounds task slots, NOT total CPU (the JVM's GC/Netty/Arrow threads use
+    extra cores), so unpinned N-vs-4N ratios understate true scaling.
+    Pinning gives each level a hard CPU budget -- the faithful single-box
+    substitute for N vs 4N executors."""
+    import subprocess
+    n = int(os.environ.get("TERRASPARK_SCALE_IMAGES", "512"))
+    ensure_bench_tables(n)
+    levels = (2, 8, 32)
+    reps = int(os.environ.get("TERRASPARK_SCALE_REPS", "2"))
     results = {}
-    for cores in (2, 8, 32):
-        # identical plan at every level: same input, same partition counts
-        spark = build_session(f"terraspark-scale-{cores}", cores=cores,
-                              shuffle_partitions=64)
-        results[cores] = run_image_pipeline(spark, data_dir)
-        spark.stop()
-        time.sleep(2)
+    for cores in levels:
+        best = None
+        for _ in range(reps):
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+                 os.path.abspath(__file__), "--single-run", str(cores)],
+                capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("RESULT ")][-1]
+            r = json.loads(line[len("RESULT "):])
+            if best is None or r["t_total"] < best["t_total"]:
+                best = r
+        results[cores] = best
 
     def eff(lo, hi):
         return (results[lo]["t_total"] / results[hi]["t_total"]) / 4.0
@@ -188,8 +213,12 @@ cell-index -> DEM halo features -> broadcast cell join -> distributed
 scalar regressions -> ALL 11 correction kernels.  Identical parquet input
 and identical partition counts (64) at every parallelism level — the
 sandbox substitute for running the same spark-submit job at N and 4N
-executors (driver two-cluster-size rule).  Timings are steady-state (a
-small warmup slice runs first so JVM JIT + Python worker pools are up).
+executors (driver two-cluster-size rule).  Each level runs in its own
+process PINNED to exactly N cores with `taskset -c 0-(N-1)` (local[N]
+alone bounds task slots, not total CPU — the JVM's GC/Netty/Arrow threads
+would otherwise spill onto unused cores and understate scaling).  Timings
+are steady-state best-of-{reps} (a warmup slice runs first so JVM JIT +
+Python worker pools are up).
 
 | config | join rows | join rows/sec | corrected tiles | tiles/sec | total sec |
 |---|---|---|---|---|---|
@@ -227,7 +256,9 @@ Phase breakdown (sec):
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--single-run" in sys.argv:
+        main_single(int(sys.argv[sys.argv.index("--single-run") + 1]))
+    elif "--scaling" in sys.argv:
         main_scaling()
     else:
         main_default()

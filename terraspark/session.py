@@ -24,6 +24,10 @@ def build_session(app: str = "terraspark", cores: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # tile rows are fat (16-64 KB of binary each): ~2k rows/batch keeps
+        # Arrow transfers in the tens-of-MB sweet spot (measured optimum;
+        # smaller batches pay per-call overhead, larger ones balloon the
+        # per-task working set under the 11-method kernel fan-out)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory",
                 os.environ.get("TERRASPARK_DRIVER_MEM", "48g"))
