@@ -57,7 +57,13 @@ def probe(cores: int) -> dict:
 
 
 if __name__ == "__main__":
-    res = {c: probe(c) for c in (8, 32)}
-    eff = {k: round((res[8][k] / res[32][k]) / 4, 3) for k in res[8]}
-    print(json.dumps({"local8": res[8], "local32": res[32],
-                      "phase_efficiency": eff}))
+    cores_env = os.environ.get("PROBE_CORES")
+    if cores_env:
+        # single pinned level (invoke under `taskset -c 0-(N-1)`)
+        c = int(cores_env)
+        print("PROBE " + json.dumps({"cores": c, **probe(c)}))
+    else:
+        res = {c: probe(c) for c in (8, 32)}
+        eff = {k: round((res[8][k] / res[32][k]) / 4, 3) for k in res[8]}
+        print(json.dumps({"local8": res[8], "local32": res[32],
+                          "phase_efficiency": eff}))

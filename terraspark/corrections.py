@@ -114,7 +114,8 @@ def _correct_batches(batches: Iterator[pd.DataFrame], methods: Sequence[str],
         lum = tiles_as_numpy(pdf, "lum_px", tile)
         slope = tiles_as_numpy(pdf, "slope_px", tile)
         groups = pdf.groupby(["image_id", "band"], sort=False).indices
-        outs = []
+        base = {c: pdf[c] for c in ("image_id", "caption", "band",
+                                    "tile_x", "tile_y", "cell")}
         for method in methods:
             px_out = np.empty(len(pdf), dtype=object)
             for (iid, band), idx in groups.items():
@@ -126,13 +127,9 @@ def _correct_batches(batches: Iterator[pd.DataFrame], methods: Sequence[str],
                     sc, params)
                 for j, k in enumerate(idx):
                     px_out[k] = corrected[j].tobytes()
-            outs.append(pd.DataFrame({
-                "image_id": pdf["image_id"], "caption": pdf["caption"],
-                "band": pdf["band"], "tile_x": pdf["tile_x"],
-                "tile_y": pdf["tile_y"], "cell": pdf["cell"],
-                "method": method, "px": px_out,
-            }))
-        yield pd.concat(outs, ignore_index=True)
+            # one frame per method (no concat copy -- mapInPandas streams
+            # multiple output batches per input batch)
+            yield pd.DataFrame({**base, "method": method, "px": px_out})
 
 
 def apply_corrections(joined: DataFrame, scalars: pd.DataFrame,

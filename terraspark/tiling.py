@@ -99,8 +99,12 @@ def tile_images(images: DataFrame, scenes: DataFrame, tile: int = TILE,
 
 def tiles_as_numpy(pdf: pd.DataFrame, col: str = "px",
                    tile: int = TILE) -> np.ndarray:
-    """Stack a pandas column of tile blobs into (n, tile*tile) float32."""
+    """Stack a pandas column of tile blobs into (n, tile*tile) float32.
+
+    Returns a read-only view over the joined buffer (no copy): every
+    consumer treats inputs as immutable (kernels allocate their own output
+    via astype), so the copy would only burn memory bandwidth."""
     if not len(pdf):
         return np.empty((0, tile * tile), dtype=np.float32)
     return np.frombuffer(b"".join(pdf[col].tolist()),
-                         dtype="<f4").reshape(len(pdf), tile * tile).copy()
+                         dtype="<f4").reshape(len(pdf), tile * tile)
