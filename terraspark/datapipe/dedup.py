@@ -45,6 +45,24 @@ def minhash_signature(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
     return per_seed
 
 
+def minhash_shingle_signature(docs: DataFrame, k: int = 5,
+                              seeds: int = 4) -> DataFrame:
+    """(doc_id, seed, minhash) over CHARACTER k-gram shingles -- the
+    canonical near-dup MinHash (order-sensitive, unlike the unigram
+    variant).  Shingle generation is a JVM-side higher-order function."""
+    shingles = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+            f"i -> substring(text, i, {k}))"))).alias("sh"))
+    return shingles.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(s) for s in range(seeds)])).alias("seed"),
+        "sh",
+    ).groupBy("doc_id", "seed").agg(
+        F.min(F.md5(F.concat_ws("_", "sh", "seed"))).alias("minhash"))
+
+
 def lsh_buckets(signatures: DataFrame,
                 band_size: int = LSH_BAND_SIZE) -> DataFrame:
     """(doc_id, band, bucket): bucket = md5 of the band's concatenated
