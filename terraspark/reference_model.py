@@ -347,6 +347,58 @@ class OracleRun:
             })
         return pd.DataFrame(rows)
 
+    # ------------------------------------------- localized C-correction
+    def local_c_tile(self, image_id: str, band: int, tile_x: int,
+                     tile_y: int, k: int = 1) -> np.ndarray:
+        """Oracle for terraspark.local_correction: c fit from the ring-k
+        tile neighborhood's masked sufficient statistics (clipped at image
+        borders), C3 formula applied to the center tile."""
+        from .kernels import ols_from_sums
+        px = self._decoded[image_id]
+        thr = self.params.pixel_ignore_threshold
+        n = sx = sy = sxx = sxy = 0.0
+        for dy in range(-k, k + 1):
+            for dx in range(-k, k + 1):
+                tx, ty = tile_x + dx, tile_y + dy
+                if not (0 <= tx < self.layout.tiles_x
+                        and 0 <= ty < self.layout.tiles_y):
+                    continue
+                dn = px[band][ty * TILE:(ty + 1) * TILE,
+                              tx * TILE:(tx + 1) * TILE].astype(np.float64)
+                lum = self.luminance_tile(image_id, tx, ty).astype(np.float64)
+                mask = (dn > thr) & ~np.isnan(dn)
+                x = np.where(mask, lum, 0.0)
+                y = np.where(mask, dn, 0.0)
+                n += mask.sum()
+                sx += x.sum(); sy += y.sum()
+                sxx += (x * x).sum(); sxy += (x * y).sum()
+        intercept, slope = ols_from_sums(n, sx, sy, sxx, sxy)
+        c = intercept / slope
+        dn = px[band][tile_y * TILE:(tile_y + 1) * TILE,
+                      tile_x * TILE:(tile_x + 1) * TILE].astype(np.float32)
+        lum = self.luminance_tile(image_id, tile_x, tile_y).astype(np.float32)
+        with np.errstate(all="ignore"):
+            out = dn * np.divide(np.float64(self.params.sza_cosine) + c,
+                                 lum + c, dn.astype("float32"))
+        out = out.astype(np.float32)
+        out[np.isnan(dn)] = np.nan
+        return out
+
+    def expected_local_c_summary(self, round_to: int = 3) -> pd.DataFrame:
+        rows = []
+        for iid in self._decoded:
+            for b in range(BANDS):
+                for ty in range(self.layout.tiles_y):
+                    for tx in range(self.layout.tiles_x):
+                        t = self.local_c_tile(iid, b, tx, ty)
+                        v = t[np.isfinite(t)].astype(np.float64)
+                        rows.append({
+                            "image_id": iid, "band": b, "tile_x": tx,
+                            "tile_y": ty, "n_valid": int(v.size),
+                            "mean_px": float(v.mean()) if v.size else 0.0,
+                        })
+        return pd.DataFrame(rows)
+
     def expected_correction_summary(self, round_to: int = 3) -> pd.DataFrame:
         """Per (image, band, method): valid-pixel count + rounded mean --
         the aggregate the driver's DuckDB oracle compares hash-exactly."""
