@@ -63,6 +63,16 @@ def main():
     oracle.expected_hist2d().to_parquet(
         f"{OUT}/expected_hist2d.parquet", index=False)
 
+    rs = oracle.expected_rose_stats()
+    for c in [c for c in rs.columns if c not in ("group_id", "band")]:
+        rs[c] = rs[c].map(lambda v: half_up(v, 4))
+    rs.to_parquet(f"{OUT}/expected_rose_stats.parquet", index=False)
+
+    cf = oracle.expected_correlation_fit()
+    cf["intercept"] = cf["intercept"].map(lambda v: half_up(v, 4))
+    cf["slope"] = cf["slope"].map(lambda v: half_up(v, 4))
+    cf.to_parquet(f"{OUT}/expected_correlation_fit.parquet", index=False)
+
     cs = oracle.expected_cell_stats()
     for c in ("mean", "std", "vmin", "vmax"):
         cs[c] = cs[c].map(lambda v: half_up(v, 4))

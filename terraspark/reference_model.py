@@ -302,6 +302,40 @@ class OracleRun:
                 })
         return pd.DataFrame(rows)
 
+    def expected_rose_stats(self, slope_step: float = 30.0,
+                            aspect_step: float = 10.0) -> pd.DataFrame:
+        """A14 descriptive bundle over the rose bin means per (group, band):
+        mean, std, percentiles 0/50/95/97/99
+        (rose_diagram_eval.py:50-58 compute_statistics)."""
+        rose = self.expected_rose(slope_step, aspect_step)
+        rows = []
+        for (gid, b), g in rose.groupby(["group_id", "band"]):
+            v = g["mean_value"].to_numpy(dtype=np.float64)
+            pcts = np.percentile(v, [0, 50, 95, 97, 99])
+            rows.append({
+                "group_id": int(gid), "band": int(b),
+                "mean": float(v.mean()), "stddev": float(np.std(v)),
+                "percentile_0": float(pcts[0]),
+                "percentile_50": float(pcts[1]),
+                "percentile_95": float(pcts[2]),
+                "percentile_97": float(pcts[3]),
+                "percentile_99": float(pcts[4]),
+            })
+        return pd.DataFrame(rows)
+
+    def expected_correlation_fit(self) -> pd.DataFrame:
+        """A3 in the evaluation path: per (group, band) OLS fit of original
+        DN ~ luminance over ALL pixels (correlation_eval.py:100 --
+        np.polynomial.polynomial.polyfit, no threshold mask)."""
+        rows = []
+        for (gid, b), d in sorted(self._orig_group_arrays().items()):
+            intercept, slope = np.polynomial.polynomial.polyfit(
+                d["lum"], d["v"], 1)
+            rows.append({"group_id": gid, "band": b,
+                         "intercept": float(intercept),
+                         "slope": float(slope), "n": int(d["v"].size)})
+        return pd.DataFrame(rows)
+
     def expected_hist2d(self, bins: int = 50) -> pd.DataFrame:
         """A12 luminance x DN 2-D histogram of the ORIGINAL image per
         group/band (correlation_eval.py:93-98 semantics: lum range [0,1],
