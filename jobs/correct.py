@@ -40,6 +40,9 @@ def main():
 
     methods = METHODS if args.methods == "all" else \
         tuple(args.methods.split(","))
+    unknown = [m for m in methods if m not in METHODS]
+    if unknown:
+        sys.exit(f"unknown method(s) {unknown}; valid: {', '.join(METHODS)}")
 
     images = spark.read.parquet(f"{args.data_dir}/images.parquet")
     scenes = spark.read.parquet(f"{args.data_dir}/scenes.parquet")
