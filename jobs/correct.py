@@ -51,7 +51,23 @@ def main():
     eng = TopoEngine(spark)
     t0 = time.time()
     joined = eng.joined(images, scenes, dem)
-    sc = eng.scalars(joined)
+
+    # scalar stats are themselves checkpointed: a resumed run reloads them
+    # instead of re-aggregating the whole tile table
+    sc = None
+    if args.checkpoint_root:
+        import os
+        sc_path = os.path.join(args.checkpoint_root, "scalars.parquet")
+        if os.path.exists(sc_path):
+            import pandas as pd
+            sc = pd.read_parquet(sc_path)
+    if sc is None:
+        sc = eng.scalars(joined)
+        if args.checkpoint_root:
+            import os
+            os.makedirs(args.checkpoint_root, exist_ok=True)
+            sc.to_parquet(os.path.join(args.checkpoint_root,
+                                       "scalars.parquet"), index=False)
 
     def kernel_stage(df):
         return corrections.apply_corrections(df, sc, methods, eng.params,
