@@ -7,7 +7,7 @@ string) so the DuckDB oracle computes bit-identical values.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MINHASH_SEEDS = 8
@@ -35,7 +35,6 @@ def minhash_signature(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
     """(doc_id, seed, minhash): min md5(token || '_' || seed) over the
     document's distinct unigram shingles."""
     toks = _tokens(docs)
-    sig = None
     per_seed = toks.select(
         "doc_id",
         F.explode(F.array(*[F.lit(s) for s in range(seeds)])).alias("seed"),
@@ -98,7 +97,6 @@ def simhash16(docs: DataFrame) -> DataFrame:
             "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
         .alias(f"v{j}") for j in range(16)
     ])
-    sim = None
     expr = F.lit(0).cast("long")
     for j in range(16):
         expr = expr + F.when(F.col(f"v{j}") > 0,
