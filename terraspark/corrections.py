@@ -86,16 +86,22 @@ def _stats_batches(batches: Iterator[pd.DataFrame], tile: int,
                else pd.DataFrame({c: [] for c in cols}))
 
 
-def band_stats(joined: DataFrame, params: CorrectionParams,
-               tile: int = TILE) -> pd.DataFrame:
-    """Collect per-(image, band) sufficient stats -> tiny pandas frame of
-    method scalars (the reference's `init()` phase, distributed)."""
+def _stats_agg(joined: DataFrame, params: CorrectionParams,
+               tile: int) -> DataFrame:
     partials = joined.select("image_id", "band", "px", "lum_px", "slope_px") \
         .mapInPandas(lambda it: _stats_batches(it, tile, params),
                      schema=STATS_SCHEMA)
-    agg = partials.groupBy("image_id", "band").agg(
+    return partials.groupBy("image_id", "band").agg(
         *[F.sum(f).alias(f) for f in STAT_FIELDS])
-    pdf = agg.toPandas()
+
+
+def band_stats(joined: DataFrame, params: CorrectionParams,
+               tile: int = TILE) -> pd.DataFrame:
+    """Per-(image, band) method scalars, COLLECTED to a tiny pandas frame.
+
+    Fine when images-in-flight x bands fits on the driver (one job's
+    worth); use :func:`band_stats_df` for the never-collect path."""
+    pdf = _stats_agg(joined, params, tile).toPandas()
     out = []
     for r in pdf.itertuples(index=False):
         sc = scalars_from_stats({f: getattr(r, f) for f in STAT_FIELDS})
@@ -103,6 +109,34 @@ def band_stats(joined: DataFrame, params: CorrectionParams,
         sc["band"] = int(r.band)
         out.append(sc)
     return pd.DataFrame(out, columns=["image_id", "band", *SCALAR_FIELDS])
+
+
+def band_stats_df(joined: DataFrame, params: CorrectionParams,
+                  tile: int = TILE) -> DataFrame:
+    """Fully-distributed scalars: the OLS closed forms evaluated as Spark
+    column expressions on the aggregated sufficient statistics -- nothing
+    ever reaches the driver, so the scalar table scales to any number of
+    images (the 10^12-image default path)."""
+    agg = _stats_agg(joined, params, tile)
+
+    def ols(prefix):
+        n, sx, sy = F.col(f"n_{prefix}"), F.col(f"sx_{prefix}"), F.col(f"sy_{prefix}")
+        sxx, sxy = F.col(f"sxx_{prefix}"), F.col(f"sxy_{prefix}")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return intercept, slope
+
+    ri, rs = ols("reg")
+    mi, ms = ols("min")
+    return agg.select(
+        "image_id", "band",
+        ri.alias("reg_intercept"), rs.alias("reg_slope"),
+        (ri / rs).alias("c"),
+        ms.alias("k"),
+        (ms / mi).alias("pbc_c"),
+        (F.col("s_dn") / F.col("n_all")).alias("band_mean"),
+        (F.col("s_lum") / F.col("n_lum")).alias("lum_mean"),
+    )
 
 
 def _correct_batches(batches: Iterator[pd.DataFrame], methods: Sequence[str],
@@ -132,15 +166,20 @@ def _correct_batches(batches: Iterator[pd.DataFrame], methods: Sequence[str],
             yield pd.DataFrame({**base, "method": method, "px": px_out})
 
 
-def apply_corrections(joined: DataFrame, scalars: pd.DataFrame,
+def apply_corrections(joined: DataFrame, scalars,
                       methods: Sequence[str] = METHODS,
                       params: CorrectionParams = CorrectionParams(),
                       tile: int = TILE) -> DataFrame:
-    """Broadcast-join scalars back and run the correction kernels."""
+    """Join the scalars back (pandas frame -> broadcast; Spark DataFrame ->
+    planner's choice, broadcast for job-sized scalar tables) and run the
+    correction kernels."""
     spark = joined.sparkSession
-    sc_df = F.broadcast(spark.createDataFrame(
-        scalars, schema="image_id string, band int, " + ", ".join(
-            f"{f} double" for f in SCALAR_FIELDS)))
+    if isinstance(scalars, pd.DataFrame):
+        sc_df = F.broadcast(spark.createDataFrame(
+            scalars, schema="image_id string, band int, " + ", ".join(
+                f"{f} double" for f in SCALAR_FIELDS)))
+    else:
+        sc_df = scalars
     enriched = joined.join(sc_df, ["image_id", "band"], "inner")
     return enriched.mapInPandas(
         lambda it: _correct_batches(it, list(methods), tile, params),

@@ -83,10 +83,7 @@ def _emit_halo(batches: Iterator[pd.DataFrame], tile: int) -> Iterator[pd.DataFr
     for pdf in batches:
         rows: dict[str, list] = {k: [] for k in (
             "dem_id", "target", "role", "tile_x", "tile_y", "lat", "lon", "data")}
-        if len(pdf):
-            keys, dlat, dlon = cells.ring_offsets_vectorized(
-                pdf["cell"].to_numpy(), 1)
-        for i, row in enumerate(pdf.itertuples(index=False)):
+        for row in pdf.itertuples(index=False):
             z = np.frombuffer(row.elev, dtype="<f4").reshape(tile, tile)
             res, ilat, ilon = cells.decode(np.int64(row.cell))
             for role, (dla, dlo) in _EMITS.items():

@@ -70,10 +70,18 @@ class TopoEngine:
     def scalars(self, joined: DataFrame) -> pd.DataFrame:
         return corrections.band_stats(joined, self.params, self.tile)
 
+    def scalars_df(self, joined: DataFrame) -> DataFrame:
+        """Never-collect scalar table (the 10^12-image path)."""
+        return corrections.band_stats_df(joined, self.params, self.tile)
+
     def correct(self, images: DataFrame, scenes: DataFrame, dem_df: DataFrame,
-                methods: Sequence[str] = METHODS) -> DataFrame:
+                methods: Sequence[str] = METHODS,
+                collect_scalars: bool = False) -> DataFrame:
+        """collect_scalars=False (default) keeps the scalar regression
+        table fully distributed -- required beyond one driver's worth of
+        images; True mirrors the reference's driver-side init phase."""
         j = self._joined or self.joined(images, scenes, dem_df)
-        sc = self.scalars(j)
+        sc = self.scalars(j) if collect_scalars else self.scalars_df(j)
         return corrections.apply_corrections(j, sc, methods, self.params,
                                              self.tile)
 

@@ -90,8 +90,12 @@ def tile_images(images: DataFrame, scenes: DataFrame, tile: int = TILE,
     if input_partitions is None:
         input_partitions = int(
             images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    src = images.repartition(input_partitions) \
-                .join(F.broadcast(scenes), "image_id", "inner")
+    # only shuffle when the scan is under-split (small local inputs):
+    # a production-scale scan already has >= target splits and shuffling
+    # raw image bytes (the biggest column) would be pure waste
+    if images.rdd.getNumPartitions() < input_partitions:
+        images = images.repartition(input_partitions)
+    src = images.join(F.broadcast(scenes), "image_id", "inner")
     return src.mapInPandas(
         lambda it: _tile_batches(it, tile, cell_res, bands),
         schema=TILE_SCHEMA)
