@@ -133,6 +133,9 @@ def encode(px: np.ndarray, fmt: str) -> bytes:
         return _png_encode(px)
     if fmt == "jpeg":
         return _jpeg_encode(px)
+    if fmt == "tiff":
+        from . import tiff
+        return tiff.encode(px)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
@@ -144,6 +147,12 @@ def decode(data: bytes, fmt: str, bands: int, h: int, w: int) -> np.ndarray:
         return _png_decode(data, bands, h, w)
     if fmt == "jpeg":
         return _jpeg_decode(data, bands, h, w)
+    if fmt == "tiff":
+        from . import tiff
+        px, _, _ = tiff.decode(data)
+        if px.shape != (bands, h, w):
+            raise ValueError(f"tiff shape {px.shape} != {(bands, h, w)}")
+        return px
     raise ValueError(f"unknown fmt: {fmt}")
 
 
