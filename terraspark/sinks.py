@@ -51,6 +51,50 @@ def write_corrected(corrected: DataFrame, path: str, buckets: int = 64,
      .write.partitionBy("cell_bucket", "method").mode(mode).parquet(path))
 
 
+GEOTIFF_SCHEMA = ("image_id string, method string, caption string, "
+                  "w int, h int, tiff binary")
+
+
+def reassemble_geotiff(corrected: DataFrame, scenes: DataFrame,
+                       bands: int = 4, tile: int = TILE,
+                       pixel_deg: float | None = None) -> DataFrame:
+    """Tiles -> whole multiband baseline-GeoTIFF per (image, method).
+
+    The inverse of the tiling scan: groups a corrected image's band tiles,
+    reassembles the (bands, h, w) array, and encodes it with geo tags
+    (ModelPixelScale/ModelTiepoint from the scenes dimension table) -- the
+    engine's equivalent of the reference's merge_bands + GTiff write
+    (/root/reference/processing_alg/execution_context.py:296-323,
+    util/raster_calc.py:141-192)."""
+    from .config import PIXEL_DEG
+    from . import tiff as tiff_codec
+
+    pixel_deg = pixel_deg or PIXEL_DEG
+    src = corrected.join(
+        F.broadcast(scenes.select("image_id", "lat0", "lon0")), "image_id")
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, method = key
+        ntx = int(pdf["tile_x"].max()) + 1
+        nty = int(pdf["tile_y"].max()) + 1
+        w, h = ntx * tile, nty * tile
+        arr = np.full((bands, h, w), np.nan, dtype=np.float32)
+        for r in pdf.itertuples(index=False):
+            block = np.frombuffer(r.px, dtype="<f4").reshape(tile, tile)
+            arr[r.band, r.tile_y * tile:(r.tile_y + 1) * tile,
+                r.tile_x * tile:(r.tile_x + 1) * tile] = block
+        data = tiff_codec.encode(
+            arr, pixel_scale=(pixel_deg, pixel_deg),
+            tiepoint=(float(pdf["lon0"].iat[0]), float(pdf["lat0"].iat[0])))
+        return pd.DataFrame([{
+            "image_id": image_id, "method": method,
+            "caption": pdf["caption"].iat[0], "w": w, "h": h, "tiff": data,
+        }])
+
+    return src.groupBy("image_id", "method").applyInPandas(
+        assemble, schema=GEOTIFF_SCHEMA)
+
+
 CELL_STATS_PARTIAL = ("cell long, method string, band int, n long, "
                       "s double, ss double, vmin double, vmax double")
 
