@@ -34,6 +34,20 @@ def aoi_containment_join(tiles: DataFrame, aoi: DataFrame,
     return tiles.join(cover, "cell", how).withColumnRenamed("aoi_id", "group_id")
 
 
+def write_bucketed(df: DataFrame, table: str, buckets: int = 64,
+                   key: str = "cell") -> None:
+    """Persist a table bucketed (and sorted) by the cell key.
+
+    Pre-bucketing both sides of a recurring join on the same key count
+    makes the join co-located: Spark's bucketed scan satisfies the join's
+    distribution requirement, so the sort-merge join runs with NO exchange
+    (verified by plan assertion in tests/test_bucketed_join.py).  This is
+    the cheapest repeat-join strategy when the DEM side outgrows broadcast
+    range -- bucket once, join every correction run shuffle-free."""
+    (df.write.mode("overwrite").format("parquet")
+       .bucketBy(buckets, key).sortBy(key).saveAsTable(table))
+
+
 def ring_join(tiles: DataFrame, k: int = 1,
               neighbor_cols: tuple = ("cell", "px"),
               salt_buckets: int = 0) -> DataFrame:
