@@ -1,0 +1,74 @@
+"""Distributed k-means over embedding vectors (iterative algorithm demo).
+
+Lloyd's algorithm with the standard Spark shape: centroids live on the
+driver (k x dim -- tiny), assignments and centroid recomputation are
+distributed DataFrame ops.  Fully deterministic: init = the k lowest
+vec_ids, cosine assignment with ties broken by centroid index, fixed
+iteration count.  This is the class of op the driver records as rows-only
+(no closed-form SQL oracle); tests assert determinism and monotone
+improvement instead.
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import with_double_vec
+
+
+def _assign(e: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Add a ``cluster`` column: argmax cosine vs the driver-side centroid
+    matrix (broadcast as literal arrays -- k x dim doubles)."""
+    k = len(centroids)
+    norms = np.linalg.norm(centroids, axis=1)
+    scores = []
+    for i in range(k):
+        c = centroids[i]
+        dot = F.aggregate(
+            F.zip_with("vec", F.array(*[F.lit(float(x)) for x in c]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        vnorm = F.sqrt(F.aggregate("vec", F.lit(0.0),
+                                   lambda acc, x: acc + x * x))
+        scores.append(F.struct(
+            (dot / (vnorm * F.lit(float(norms[i])))).alias("cos"),
+            F.lit(i).alias("cid")))
+    best = F.array_sort(
+        F.array(*scores),
+        lambda a, b: F.when(a.cos > b.cos, -1).when(a.cos < b.cos, 1)
+        .when(a.cid < b.cid, -1).otherwise(1))[0]
+    return e.withColumn("cluster", best.cid).withColumn("cos", best.cos)
+
+
+def kmeans(embeddings: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
+    """Returns (vec_id, cluster, cos) after ``iters`` Lloyd iterations."""
+    e = with_double_vec(embeddings).select("vec_id", "vec").persist()
+    try:
+        init = e.orderBy("vec_id").limit(k).collect()
+        centroids = np.array([r["vec"] for r in init], dtype=np.float64)
+        assigned = None
+        for _ in range(iters):
+            assigned = _assign(e, centroids)
+            # distributed centroid recompute: mean per (cluster, dim)
+            means = (assigned
+                     .select("cluster", F.posexplode("vec").alias("pos", "x"))
+                     .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+                     .collect())
+            new = centroids.copy()
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+            for cid, dims in by_cluster.items():
+                for pos, m in dims.items():
+                    new[cid, pos] = m
+            centroids = new
+        return assigned.select("vec_id", "cluster",
+                               F.round("cos", 6).alias("cos"))
+    finally:
+        e.unpersist()
+
+
+def inertia(assigned_with_vec: DataFrame) -> float:
+    """Mean assignment cosine (higher = tighter clusters)."""
+    return assigned_with_vec.agg(F.avg("cos")).collect()[0][0]
