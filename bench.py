@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_IMAGES = int(os.environ.get("TERRASPARK_BENCH_IMAGES", "128"))
+# same image count as the --scaling protocol (TERRASPARK_SCALE_IMAGES), so
+# BENCH_r{N}.json and BENCH/BASELINE.md measure the same workload
+BENCH_IMAGES = int(os.environ.get("TERRASPARK_BENCH_IMAGES", "512"))
 BENCH_DIR = os.environ.get("TERRASPARK_BENCH_DIR", "/tmp/terraspark_bench")
 
 
@@ -75,8 +77,12 @@ def run_image_pipeline(spark, data_dir: str, warmup: bool = True) -> dict:
     join_rows = joined.count()
     t_join = time.time() - t0
 
+    # never-collect scalar path (the engine's shipping default,
+    # pipeline.py correct()): distributed sufficient stats -> OLS column
+    # exprs; persisted so the kernel stage reuses it (2048 tiny rows)
     t1 = time.time()
-    sc = eng.scalars(joined)
+    sc = eng.scalars_df(joined).persist()
+    sc.count()
     t_stats = time.time() - t1
 
     t2 = time.time()
@@ -84,9 +90,18 @@ def run_image_pipeline(spark, data_dir: str, warmup: bool = True) -> dict:
     from terraspark.config import METHODS
     corrected = corrections.apply_corrections(joined, sc, METHODS,
                                               eng.params, eng.tile)
-    corrected_rows = corrected.count()
+    # hash sink: aggregates over EVERY output column (crc32 of the pixel
+    # blob included) so Catalyst cannot prune the corrected pixels out of
+    # the timed plan the way a bare count() would
+    row = corrected.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32("px")).alias("pxh"),
+        F.expr("bit_xor(xxhash64(image_id, caption, band, tile_x, tile_y, "
+               "cell, method))").alias("mh")).collect()[0]
+    corrected_rows = row["n"]
     t_correct = time.time() - t2
     total = time.time() - t0
+    sc.unpersist()
     eng.unpersist()
     return {
         "join_rows": join_rows, "corrected_rows": corrected_rows,
@@ -108,9 +123,9 @@ def _warm(spark, data_dir: str):
     dem = spark.read.parquet(f"{data_dir}/dem.parquet")
     eng = TopoEngine(spark)
     j = eng.joined(images, scenes, dem)
-    sc = eng.scalars(j)
+    sc = eng.scalars_df(j)
     corrections.apply_corrections(j, sc, ("cosine_t",), eng.params,
-                                  eng.tile).count()
+                                  eng.tile).agg(F.sum(F.crc32("px"))).collect()
     eng.unpersist()
 
 
@@ -120,10 +135,16 @@ def run_datapipe(spark, sf_dir: str) -> dict:
     picks = ["dp_dedup_exact", "dp_simhash", "dp_fingerprint", "dp_ann_topk",
              "rel_tpch_q1", "rel_rose_means", "rel_stats_bundle",
              "rel_rank_topk", "rel_broadcast_join_agg"]
+    from pyspark.sql import functions as F
     out = {}
     for name in picks:
+        df = qs[name](spark, sf_dir)
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        # force every output column (xxhash64 over the full row): a bare
+        # count() would let Catalyst prune unneeded projections (e.g.
+        # dp_fingerprint's md5) out of the timing; bit_xor can't overflow
+        df.agg(F.count("*"),
+               F.expr(f"bit_xor(xxhash64({', '.join(df.columns)}))")).collect()
         out[name] = round(time.time() - t0, 3)
     return out
 

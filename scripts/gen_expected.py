@@ -16,12 +16,14 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from terraspark import codecs  # noqa: E402
+from terraspark import dtypes  # noqa: E402
 from terraspark.config import BANDS, IMG_H, IMG_W, TILE, half_up  # noqa: E402
-from terraspark.fixtures import build_tables  # noqa: E402
+from terraspark.fixtures import build_tables, typed_fmt  # noqa: E402
 from terraspark.reference_model import OracleRun  # noqa: E402
 from terraspark import rank as trank  # noqa: E402
 
 N_IMAGES = 8
+N_TYPED = 4
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 
@@ -73,6 +75,11 @@ def main():
     cf["slope"] = cf["slope"].map(lambda v: half_up(v, 4))
     cf.to_parquet(f"{OUT}/expected_correlation_fit.parquet", index=False)
 
+    # localized C-correction: FULL-precision means (the driver query turns
+    # these into a tolerance verdict -- see __spark_entry__.img_correct_c_local)
+    oracle.expected_local_c_summary().to_parquet(
+        f"{OUT}/expected_local_c.parquet", index=False)
+
     cs = oracle.expected_cell_stats()
     for c in ("mean", "std", "vmin", "vmax"):
         cs[c] = cs[c].map(lambda v: half_up(v, 4))
@@ -99,6 +106,42 @@ def main():
             "lum_sum": half_up(float(lum.astype(np.float64).sum()), 2),
         })
     pd.DataFrame(drows).to_parquet(f"{OUT}/expected_dem.parquet", index=False)
+
+    # ---------------- typed (dtype-lattice) fixture set: uint16/byte/int16
+    # sources with per-type default NDV (SURVEY section 1.2)
+    timages, tscenes, tdem, taoi, tgrids = build_tables(
+        N_TYPED, fmt_of=typed_fmt)
+    toracle = OracleRun(N_TYPED, timages, tscenes, tgrids, taoi)
+    tsum = toracle.expected_correction_summary(round_to=10)
+    tsum["mean_px"] = tsum["mean_px"].map(lambda v: half_up(v, 3))
+    tsum.to_parquet(f"{OUT}/expected_typed_corrections.parquet", index=False)
+
+    # final-cast roundtrip expectations: corrected cosine_t tiles cast back
+    # to the INPUT dtype (independent numpy path through dtypes.cast_to_dtype
+    # on the ORACLE's corrected arrays); crc32 summed per (image, band)
+    import zlib
+    fmt_by_img = dict(zip(timages["image_id"], timages["fmt"]))
+    trows = []
+    for _, r in timages.iterrows():
+        iid = r["image_id"]
+        gdal_t = dtypes.FMT_DTYPE[fmt_by_img[iid]]
+        for b in range(BANDS):
+            arr = toracle._corrected[iid]["cosine_t"][b]
+            crc_sum, n_ndv = 0, 0
+            for ty in range(IMG_H // TILE):
+                for tx in range(IMG_W // TILE):
+                    blk = arr[ty * TILE:(ty + 1) * TILE,
+                              tx * TILE:(tx + 1) * TILE]
+                    n_ndv += int(np.isnan(blk).sum())
+                    typed = dtypes.cast_to_dtype(blk, gdal_t)
+                    crc_sum += zlib.crc32(typed.tobytes()) & 0xFFFFFFFF
+            trows.append({
+                "image_id": iid, "band": b, "out_dtype": gdal_t,
+                "ndv": float(dtypes.DEFAULT_NDV[gdal_t]),
+                "n_ndv": n_ndv, "crc_sum": crc_sum,
+            })
+    pd.DataFrame(trows).to_parquet(f"{OUT}/expected_typed_roundtrip.parquet",
+                                   index=False)
     print("wrote expected tables to", OUT)
 
 

@@ -126,9 +126,17 @@ def _jpeg_decode(data: bytes, bands: int, h: int, w: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ facade
+# typed raw rasters (the GDAL Byte/Int16/UInt16 lattice, SURVEY section 1.2):
+# integer pixels with the type's DefaultNDVLookup value as NoData sentinel
+_TYPED_RAW = {"raw_u8": "Byte", "raw_i16": "Int16", "raw_u16": "UInt16"}
+
+
 def encode(px: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw_f32":
         return _raw_encode(px)
+    if fmt in _TYPED_RAW:
+        from . import dtypes
+        return dtypes.encode_typed(px, _TYPED_RAW[fmt])
     if fmt == "png":
         return _png_encode(px)
     if fmt == "jpeg":
@@ -140,9 +148,12 @@ def encode(px: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(data: bytes, fmt: str, bands: int, h: int, w: int) -> np.ndarray:
-    """Decode to float32 (bands, h, w)."""
+    """Decode to float32 (bands, h, w); source NoData -> NaN."""
     if fmt == "raw_f32":
         return _raw_decode(data, bands, h, w)
+    if fmt in _TYPED_RAW:
+        from . import dtypes
+        return dtypes.decode_typed(data, _TYPED_RAW[fmt], bands, h, w)
     if fmt == "png":
         return _png_decode(data, bands, h, w)
     if fmt == "jpeg":

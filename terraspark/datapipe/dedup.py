@@ -12,6 +12,13 @@ from pyspark.sql import functions as F
 
 MINHASH_SEEDS = 8
 LSH_BAND_SIZE = 2            # 8 hashes -> 4 bands of 2
+# pair-generation bucket cap: a degenerate bucket (e.g. thousands of
+# identical empty docs) would make the self-join quadratic inside ONE
+# task; buckets above the cap are excluded from pairing (they are almost
+# always junk -- boilerplate/empty text) and surfaced by bucket_audit.
+# The SQL oracle applies the identical HAVING cap, so engine and oracle
+# stay in lockstep at any scale.
+DEFAULT_MAX_BUCKET = 5_000
 
 
 def exact_stats(docs: DataFrame) -> DataFrame:
@@ -74,10 +81,25 @@ def lsh_buckets(signatures: DataFrame,
                 .alias("bucket")))
 
 
-def candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket."""
-    a = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+def bucket_audit(buckets: DataFrame,
+                 max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Buckets whose size exceeds the pairing cap (log/alert surface)."""
+    return (buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket))
+
+
+def candidate_pairs(buckets: DataFrame,
+                    max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket.
+
+    Buckets larger than ``max_bucket`` are excluded before the self-join
+    (skew guard -- see DEFAULT_MAX_BUCKET); audit drops via bucket_audit."""
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_bucket).select("band", "bucket")
+    capped = buckets.join(ok, ["band", "bucket"])
+    a = capped.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (a.join(b, ["band", "bucket"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())

@@ -143,8 +143,17 @@ def dem_features(z: np.ndarray, params: CorrectionParams):
 
 
 # -------------------------------------------------------------- images
+# dn_max per format: integer formats stay strictly below the type's
+# default-NDV sentinel (e.g. Byte NDV=255 -> dn_max 254) so real pixels
+# never alias NoData
+_DN_MAX = {"raw_f32": 1000.0, "png": 10000.0, "jpeg": 255.0,
+           "raw_u16": 10000.0, "raw_u8": 254.0, "raw_i16": 10000.0}
+_INT_FMTS = ("png", "raw_u16", "raw_u8", "raw_i16")
+_NDV_FMTS = ("raw_f32", "raw_u16", "raw_u8", "raw_i16")
+
+
 def image_pixels(i: int, layout: Layout, lum_grid: np.ndarray,
-                 params: CorrectionParams) -> np.ndarray:
+                 params: CorrectionParams, fmt: str | None = None) -> np.ndarray:
     """Pristine float pixels (BANDS, IMG_H, IMG_W) for image i."""
     rng = np.random.default_rng(SEED + 10_000 + i)
     cx, cy = layout.anchor_cell(i)
@@ -158,22 +167,23 @@ def image_pixels(i: int, layout: Layout, lum_grid: np.ndarray,
         + 0.05 * np.sin((xx + 2 * yy) / 91.0 + rng.uniform(0, 6))
     refl = np.clip(refl, 0.05, 1.0)
 
-    fmt = image_fmt(i)
-    dn_max = {"raw_f32": 1000.0, "png": 10000.0, "jpeg": 255.0}[fmt]
+    fmt = fmt or image_fmt(i)
+    dn_max = _DN_MAX[fmt]
     scale = dn_max / 1000.0
 
     px = np.empty((BANDS, IMG_H, IMG_W), dtype=np.float32)
     for b in range(BANDS):
         noise = rng.normal(0.0, 2.0, size=(IMG_H, IMG_W))
         dn = np.clip(scale * (GAINS[b] * refl * cos_i + OFFSETS[b] + noise), 0, dn_max)
-        if fmt == "png":
+        if fmt in _INT_FMTS:
             dn = np.rint(dn)
         px[b] = dn.astype(np.float32)
 
-    # ~1% zeros (below ignore threshold) and ~1% NaN NoData (raw only)
+    # ~1% zeros (below ignore threshold) and ~1% NaN NoData (formats with
+    # an NDV sentinel: raw float + the typed integer lattice)
     zeros = rng.random((IMG_H, IMG_W)) < 0.01
     px[:, zeros] = 0.0
-    if fmt == "raw_f32":
+    if fmt in _NDV_FMTS:
         ndv = rng.random((IMG_H, IMG_W)) < 0.01
         px[:, ndv] = np.nan
     return px
@@ -185,12 +195,20 @@ def image_fmt(i: int) -> str:
     return "png" if i % 4 == 1 else "jpeg"
 
 
+def typed_fmt(i: int) -> str:
+    """Format cycle for the TYPED fixture set (SURVEY section 1.2 dtype
+    lattice): UInt16 with NDV=65535, Byte with NDV=255, Int16 with
+    NDV=-32768 -- what real imagery (e.g. uint16 + NDV) looks like."""
+    return ("raw_u16", "raw_u8", "raw_i16")[i % 3]
+
+
 def caption_of(i: int) -> str:
     return f"synthetic scene {i} over hill {i % HILLS}"
 
 
 # ----------------------------------------------------------- table build
-def build_tables(n_images: int, params: CorrectionParams = DEFAULT_PARAMS):
+def build_tables(n_images: int, params: CorrectionParams = DEFAULT_PARAMS,
+                 fmt_of=image_fmt):
     """Return (images_df, scenes_df, dem_df, aoi_df, dem_grids) as pandas.
 
     images: exact input_hint schema (image_id, bytes, w, h, fmt, caption,
@@ -208,8 +226,8 @@ def build_tables(n_images: int, params: CorrectionParams = DEFAULT_PARAMS):
     img_rows, scene_rows = [], []
     for i in range(n_images):
         hill = i % HILLS
-        px = image_pixels(i, layout, feats[hill][2], params)
-        fmt = image_fmt(i)
+        fmt = fmt_of(i)
+        px = image_pixels(i, layout, feats[hill][2], params, fmt=fmt)
         data = codecs.encode(px, fmt)
         decoded = codecs.decode(data, fmt, BANDS, IMG_H, IMG_W)
         lat0, lon0 = layout.image_origin(i)

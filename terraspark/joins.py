@@ -34,6 +34,34 @@ def aoi_containment_join(tiles: DataFrame, aoi: DataFrame,
     return tiles.join(cover, "cell", how).withColumnRenamed("aoi_id", "group_id")
 
 
+class IncompatibleRastersError(ValueError):
+    """Image tiles found no matching DEM cell (misaligned inputs)."""
+
+
+def check_compatible(tiles: DataFrame, dem_features: DataFrame,
+                     strict: bool = True) -> DataFrame:
+    """Input-compatibility validation, the engine analogue of the
+    reference's ``check_compatible`` (raises on CRS/extent/size mismatch,
+    /root/reference/util/qgis_utils.py:81-95).  The equi-join on the cell
+    key would otherwise SILENTLY drop tiles whose cell has no DEM row; a
+    misaligned DEM should be a loud error, not quietly-missing outputs.
+
+    Returns per-image uncovered-tile counts (the audit surface).  With
+    ``strict=True`` raises IncompatibleRastersError when any tile is
+    uncovered, naming the worst offenders."""
+    missing = tiles.join(dem_features.select("cell"), "cell", "left_anti")
+    audit = (missing.groupBy("image_id")
+             .agg(F.count("*").alias("uncovered_tiles")))
+    if strict:
+        worst = audit.orderBy(F.desc("uncovered_tiles")).limit(10).collect()
+        if worst:
+            detail = ", ".join(f"{r['image_id']}={r['uncovered_tiles']}"
+                               for r in worst)
+            raise IncompatibleRastersError(
+                f"tiles with no DEM coverage (image=count): {detail}")
+    return audit
+
+
 def write_bucketed(df: DataFrame, table: str, buckets: int = 64,
                    key: str = "cell") -> None:
     """Persist a table bucketed (and sorted) by the cell key.

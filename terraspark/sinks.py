@@ -42,6 +42,53 @@ def merge_bands(corrected: DataFrame) -> DataFrame:
                     F.size("_b").alias("n_bands")))
 
 
+TYPED_SCHEMA = ("image_id string, band int, tile_x int, tile_y int, "
+                "cell long, method string, out_dtype string, ndv double, "
+                "n_ndv long, typed_px binary")
+
+
+def cast_to_input_type(corrected: DataFrame, image_fmts: DataFrame,
+                       tile: int = TILE) -> DataFrame:
+    """Final-output cast: float32 corrected tiles -> the INPUT image's
+    dtype, NaN -> the type's default NDV (the reference's merge-time cast,
+    TopoCorrectionAlgorithm.py:56-57 + gdal_utils.py:102-110 +
+    raster_calc.py:175-180; engine contract in terraspark.dtypes).
+
+    ``image_fmts``: (image_id, fmt) dimension rows (broadcast)."""
+    from . import dtypes
+
+    src = corrected.join(
+        F.broadcast(image_fmts.select("image_id", "fmt")), "image_id")
+
+    def cast_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = tile * tile
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = np.frombuffer(b"".join(pdf["px"].tolist()),
+                               dtype="<f4").reshape(len(pdf), n)
+            out_px = np.empty(len(pdf), dtype=object)
+            out_t = np.empty(len(pdf), dtype=object)
+            ndv = np.empty(len(pdf), dtype=np.float64)
+            n_ndv = np.isnan(px).sum(axis=1).astype("int64")
+            for gdal_t, idx in pdf.groupby(
+                    pdf["fmt"].map(dtypes.FMT_DTYPE), sort=False).indices.items():
+                typed = dtypes.cast_to_dtype(px[idx], gdal_t)
+                for j, k in enumerate(idx):
+                    out_px[k] = typed[j].tobytes()
+                    out_t[k] = gdal_t
+                ndv[idx] = dtypes.DEFAULT_NDV[gdal_t]
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "band": pdf["band"],
+                "tile_x": pdf["tile_x"], "tile_y": pdf["tile_y"],
+                "cell": pdf["cell"], "method": pdf["method"],
+                "out_dtype": out_t, "ndv": ndv, "n_ndv": n_ndv,
+                "typed_px": out_px,
+            })
+
+    return src.mapInPandas(cast_batches, schema=TYPED_SCHEMA)
+
+
 def write_corrected(corrected: DataFrame, path: str, buckets: int = 64,
                     mode: str = "overwrite") -> None:
     """S6: partitioned, pruned-scannable sink for corrected tiles."""

@@ -34,45 +34,56 @@ TILE_SCHEMA = (
 )
 
 
+_TILE_COLS = ["image_id", "caption", "fmt", "band", "tile_x", "tile_y",
+              "lat", "lon", "cell", "px", "phash_ok"]
+
+
+def _tile_one(row, tile: int, pixel_deg: float, bands: int) -> pd.DataFrame:
+    """All tile rows of one image -- a single reshape/transpose + one
+    buffer copy; no per-tile Python loop (the per-(band,ty,tx) loop this
+    replaces was the measured serial fraction of the decode stage)."""
+    px = codecs.decode(row.bytes, row.fmt, bands, row.h, row.w)
+    ok = codecs.dhash64(px) == row.phash
+    ntx, nty = row.w // tile, row.h // tile
+    n = bands * nty * ntx
+    # (bands, h, w) -> (bands, nty, ntx, tile, tile) C-contiguous: every
+    # tile block becomes one contiguous 16 KiB span of a single buffer
+    blocks = np.ascontiguousarray(
+        px.reshape(bands, nty, tile, ntx, tile).transpose(0, 1, 3, 2, 4),
+        dtype="<f4")
+    buf = blocks.tobytes()
+    sz = tile * tile * 4
+    ty_idx = np.tile(np.repeat(np.arange(nty), ntx), bands)
+    tx_idx = np.tile(np.arange(ntx), bands * nty)
+    # lat0/lon0: image's north-west corner (rasters are row-0-north)
+    return pd.DataFrame({
+        "image_id": row.image_id, "caption": row.caption, "fmt": row.fmt,
+        "band": np.repeat(np.arange(bands, dtype="int32"), nty * ntx),
+        "tile_x": tx_idx.astype("int32"),
+        "tile_y": ty_idx.astype("int32"),
+        "lat": row.lat0 - (ty_idx + 0.5) * tile * pixel_deg,
+        "lon": row.lon0 + (tx_idx + 0.5) * tile * pixel_deg,
+        "px": [buf[i * sz:(i + 1) * sz] for i in range(n)],
+        "phash_ok": ok,
+    })
+
+
 def _tile_batches(batches: Iterator[pd.DataFrame], tile: int, cell_res: int,
                   bands: int) -> Iterator[pd.DataFrame]:
     cell_deg = 1.0 / (1 << cell_res)
     pixel_deg = cell_deg / tile
     for pdf in batches:
-        out: dict[str, list] = {k: [] for k in (
-            "image_id", "caption", "fmt", "band", "tile_x", "tile_y",
-            "lat", "lon", "px", "phash_ok")}
-        for row in pdf.itertuples(index=False):
-            px = codecs.decode(row.bytes, row.fmt, bands, row.h, row.w)
-            ok = codecs.dhash64(px) == row.phash
-            ntx, nty = row.w // tile, row.h // tile
-            # lat0/lon0: image's north-west corner (rasters are row-0-north)
-            for b in range(bands):
-                band = px[b]
-                for ty in range(nty):
-                    for tx in range(ntx):
-                        block = band[ty * tile:(ty + 1) * tile,
-                                     tx * tile:(tx + 1) * tile]
-                        out["image_id"].append(row.image_id)
-                        out["caption"].append(row.caption)
-                        out["fmt"].append(row.fmt)
-                        out["band"].append(b)
-                        out["tile_x"].append(tx)
-                        out["tile_y"].append(ty)
-                        out["lat"].append(row.lat0 - (ty + 0.5) * tile * pixel_deg)
-                        out["lon"].append(row.lon0 + (tx + 0.5) * tile * pixel_deg)
-                        out["px"].append(
-                            np.ascontiguousarray(block, dtype="<f4").tobytes())
-                        out["phash_ok"].append(ok)
-        res = pd.DataFrame(out)
-        if len(res):
+        frames = [_tile_one(row, tile, pixel_deg, bands)
+                  for row in pdf.itertuples(index=False)]
+        if frames:
+            res = pd.concat(frames, ignore_index=True)
             # batched vectorized cell encode (north rule)
             res["cell"] = cells.encode(res["lat"].to_numpy(),
                                        res["lon"].to_numpy(), cell_res)
         else:
-            res["cell"] = pd.Series([], dtype="int64")
-        yield res[["image_id", "caption", "fmt", "band", "tile_x", "tile_y",
-                   "lat", "lon", "cell", "px", "phash_ok"]]
+            res = pd.DataFrame({c: [] for c in _TILE_COLS})
+            res["cell"] = res["cell"].astype("int64")
+        yield res[_TILE_COLS]
 
 
 def tile_images(images: DataFrame, scenes: DataFrame, tile: int = TILE,

@@ -1,0 +1,78 @@
+"""Skew guards for quadratic pair generation (LSH buckets / IVF cells).
+
+VERDICT r1: one degenerate bucket (thousands of identical empty docs)
+makes the candidate self-join quadratic inside a single task.  The cap
+excludes oversize buckets from pairing and surfaces them via the audit.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from terraspark.datapipe import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    rows = [{"doc_id": i, "text": "the same empty boilerplate text"}
+            for i in range(200)]                       # degenerate bucket
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "kappa"]
+    for i in range(200, 240):
+        rows.append({"doc_id": i, "text": " ".join(
+            rng.choice(words, size=8))})
+    return spark.createDataFrame(pd.DataFrame(rows),
+                                 "doc_id long, text string")
+
+
+def test_bucket_cap_bounds_degenerate_pairs(spark, skewed_docs):
+    buckets = dedup.lsh_buckets(dedup.minhash_signature(skewed_docs))
+    capped = dedup.candidate_pairs(buckets, max_bucket=50).toPandas()
+    # the 200-doc degenerate bucket (19900 pairs x 4 bands) is excluded;
+    # only the normal docs pair up
+    assert len(capped) < 1000
+    assert not ((capped["doc_a"] < 200) & (capped["doc_b"] < 200)).any()
+    audit = dedup.bucket_audit(buckets, max_bucket=50).toPandas()
+    assert len(audit) >= 4                   # one oversize bucket per band
+    assert (audit["n"] == 200).all()
+
+
+def test_default_cap_is_transparent(spark, skewed_docs):
+    """Below the cap nothing changes: capped == uncapped pair set."""
+    normal = skewed_docs.where(F.col("doc_id") >= 200)
+    buckets = dedup.lsh_buckets(dedup.minhash_signature(normal))
+    a = dedup.candidate_pairs(buckets).toPandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = dedup.candidate_pairs(buckets, max_bucket=10**9).toPandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_neardup_cell_cap(spark):
+    """IVF near-dup pairing skips cells above max_cell (and the audit
+    reports them) -- the embedding analogue of the LSH bucket cap."""
+    rng = np.random.default_rng(5)
+    # centroids = the 4 lowest vec_ids -> make them 4 DISTINCT directions,
+    # then pile 100 near-dups onto direction 0 (the hot cell)
+    dirs = [rng.normal(0, 1, 8) for _ in range(4)]
+    rows = [{"vec_id": i, "embedding": d.astype(np.float32).tolist()}
+            for i, d in enumerate(dirs)]
+    for i in range(4, 104):
+        rows.append({"vec_id": i,
+                     "embedding": (dirs[0] + rng.normal(0, 0.01, 8))
+                     .astype(np.float32).tolist()})
+    for i in range(104, 110):
+        rows.append({"vec_id": i,
+                     "embedding": (dirs[1] + rng.normal(0, 0.01, 8))
+                     .astype(np.float32).tolist()})
+    emb = spark.createDataFrame(pd.DataFrame(rows),
+                                "vec_id long, embedding array<float>")
+    uncapped = similarity.neardup_pairs(emb, threshold=0.9, n_centroids=4)
+    capped = similarity.neardup_pairs(emb, threshold=0.9, n_centroids=4,
+                                      max_cell=50)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un > 4000                       # hot cell went quadratic
+    assert n_cap < 100                       # cap excluded it
+    assign = similarity.ivf_assign(emb, n_centroids=4)
+    audit = similarity.cell_size_audit(assign, max_cell=50).toPandas()
+    assert len(audit) == 1 and int(audit["n"].iloc[0]) >= 100

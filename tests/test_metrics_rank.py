@@ -37,7 +37,7 @@ def metric_frames(spark, fixture_tables):
     both = orig.unionByName(corr)
     grouped = joins.aoi_containment_join(both, aoi_df)
     pixels = tmetrics.explode_pixels(grouped)
-    got = tmetrics.evaluate_metrics(pixels).toPandas()
+    got = tmetrics.evaluate_metrics(pixels, approx=False).toPandas()
     exp = oracle.expected_metrics()
     exp = exp[exp["method"].isin([*EVAL_METHODS, tmetrics.ORIG_KEY])]
     eng.unpersist()
