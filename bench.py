@@ -37,6 +37,12 @@ BENCH_IMAGES = int(os.environ.get("TERRASPARK_BENCH_IMAGES", "512"))
 BENCH_DIR = os.environ.get("TERRASPARK_BENCH_DIR", "/tmp/terraspark_bench")
 
 
+IMAGE_FILES = 64   # images land as a many-file table (a production corpus
+#                    is thousands of files): the scan gets natural splits,
+#                    so the decode stage fans out WITHOUT shuffling the raw
+#                    image bytes (the fattest column in the system)
+
+
 def ensure_bench_tables(n_images: int) -> str:
     """Write deterministic fixture tables to parquet once (input prep,
     excluded from timings)."""
@@ -47,7 +53,12 @@ def ensure_bench_tables(n_images: int) -> str:
     from terraspark.fixtures import build_tables
     os.makedirs(out, exist_ok=True)
     images, scenes, dem, aoi, _ = build_tables(n_images)
-    images.to_parquet(f"{out}/images.parquet", index=False)
+    img_dir = f"{out}/images.parquet"
+    os.makedirs(img_dir, exist_ok=True)
+    files = min(IMAGE_FILES, len(images))
+    for i in range(files):
+        images.iloc[i::files].to_parquet(
+            f"{img_dir}/part-{i:05d}.parquet", index=False)
     scenes.to_parquet(f"{out}/scenes.parquet", index=False)
     dem.to_parquet(f"{out}/dem.parquet", index=False)
     aoi.to_parquet(f"{out}/aoi.parquet", index=False)
@@ -152,7 +163,8 @@ def run_datapipe(spark, sf_dir: str) -> dict:
 def main_default():
     from terraspark.session import build_session
     data_dir = ensure_bench_tables(BENCH_IMAGES)
-    spark = build_session("terraspark-bench", cores=CPUS)
+    spark = build_session("terraspark-bench", cores=CPUS,
+                          max_partition_bytes="8m")
     img = run_image_pipeline(spark, data_dir)
     dp = run_datapipe(spark, SF_DIR)
     spark.stop()
@@ -181,7 +193,7 @@ def main_single(cores: int):
     n = int(os.environ.get("TERRASPARK_SCALE_IMAGES", "512"))
     data_dir = ensure_bench_tables(n)
     spark = build_session(f"terraspark-scale-{cores}", cores=cores,
-                          shuffle_partitions=64)
+                          shuffle_partitions=64, max_partition_bytes="8m")
     r = run_image_pipeline(spark, data_dir)
     spark.stop()
     print("RESULT " + json.dumps(r))

@@ -85,6 +85,10 @@ def main():
         cs[c] = cs[c].map(lambda v: half_up(v, 4))
     cs.to_parquet(f"{OUT}/expected_cell_stats.parquet", index=False)
 
+    # full-precision per-cell partials (rollup / polygonize oracle base)
+    oracle.expected_cell_base().to_parquet(
+        f"{OUT}/expected_cell_base.parquet", index=False)
+
     # thumbnails / captions / phash (decode-level expectations)
     rows = []
     for _, r in images.iterrows():

@@ -20,7 +20,8 @@ def probe(cores: int) -> dict:
     from terraspark import corrections
     from terraspark.config import METHODS
 
-    spark = build_session(f"probe{cores}", cores=cores, shuffle_partitions=64)
+    spark = build_session(f"probe{cores}", cores=cores, shuffle_partitions=64,
+                          max_partition_bytes="8m")
     d = f"/tmp/terraspark_bench/n{N}"
     images = spark.read.parquet(f"{d}/images.parquet")
     scenes = spark.read.parquet(f"{d}/scenes.parquet")
@@ -45,8 +46,11 @@ def probe(cores: int) -> dict:
 
     joined = eng.joined(images, scenes, dem)
     joined.count()          # materialize persist once (excluded)
-    sc = eng.scalars(joined)
-    best("scalar_stats", lambda: eng.scalars(joined))
+    # never-collect scalar path -- the engine default and what bench.py
+    # times (r1 verdict: one protocol everywhere)
+    best("scalar_stats", lambda: eng.scalars_df(joined).count())
+    sc = eng.scalars_df(joined).persist()
+    sc.count()
 
     best("kernels_x11", lambda: corrections.apply_corrections(
         joined, sc, METHODS, eng.params, eng.tile).count())

@@ -381,6 +381,31 @@ class OracleRun:
             })
         return pd.DataFrame(rows)
 
+    def expected_cell_base(self, method: str = "cosine_t") -> pd.DataFrame:
+        """FULL-PRECISION per (cell, band) mergeable partials (n, s, ss,
+        min, max) of one method's corrected pixels -- the committed base
+        the rollup/polygonize SQL oracles re-aggregate (so the oracle does
+        its own parent-key arithmetic and connected components over data
+        that never touched Spark)."""
+        assign = self.expected_assignments()
+        acc: dict[tuple, list] = {}
+        for t in assign.itertuples(index=False):
+            arr = self._corrected[t.image_id][method]
+            for b in range(BANDS):
+                v = arr[b][t.tile_y * TILE:(t.tile_y + 1) * TILE,
+                           t.tile_x * TILE:(t.tile_x + 1) * TILE].ravel()
+                acc.setdefault((t.cell, b), []).append(
+                    v[np.isfinite(v)].astype(np.float64))
+        rows = []
+        for (cell, b), chunks in sorted(acc.items()):
+            v = np.concatenate(chunks)
+            rows.append({
+                "cell": int(cell), "band": b, "n": int(v.size),
+                "s": float(v.sum()), "ss": float((v * v).sum()),
+                "vmin": float(v.min()), "vmax": float(v.max()),
+            })
+        return pd.DataFrame(rows)
+
     # ------------------------------------------- localized C-correction
     def local_c_tile(self, image_id: str, band: int, tile_x: int,
                      tile_y: int, k: int = 1) -> np.ndarray:

@@ -13,10 +13,15 @@ from pyspark.sql import SparkSession
 
 
 def build_session(app: str = "terraspark", cores: int | None = None,
-                  shuffle_partitions: int | None = None) -> SparkSession:
+                  shuffle_partitions: int | None = None,
+                  max_partition_bytes: str | None = None) -> SparkSession:
+    """``max_partition_bytes`` caps scan-split size (e.g. "8m"): a
+    many-file image table then fans decode out across all cores WITHOUT a
+    repartition shuffle of the raw bytes (bench/probe use this; the
+    default 128m is fine for ordinary relational scans)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 32)
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -33,5 +38,9 @@ def build_session(app: str = "terraspark", cores: int | None = None,
                 os.environ.get("TERRASPARK_DRIVER_MEM", "48g"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if max_partition_bytes:
+        b = b.config("spark.sql.files.maxPartitionBytes",
+                     max_partition_bytes) \
+             .config("spark.sql.files.openCostInBytes", "1m")
+    return b.getOrCreate()

@@ -146,11 +146,11 @@ CELL_STATS_PARTIAL = ("cell long, method string, band int, n long, "
                       "s double, ss double, vmin double, vmax double")
 
 
-def cell_stats(corrected: DataFrame, tile: int = TILE,
-               round_to: int = 4) -> DataFrame:
-    """Per-cell aggregate statistics of corrected pixels (raster->vector):
-    (cell, method, band) -> n, mean, std_pop, min, max.  Tile-level partial
-    sums (map-side) then one small groupBy -- never explodes pixels."""
+def cell_partials(tiles: DataFrame, tile: int = TILE) -> DataFrame:
+    """Tile rows -> per (cell, method, band) FULL-PRECISION mergeable
+    partials (n, s, ss, min, max): the shared reduction under cell_stats,
+    rollup.rollup_stats and vectorize.polygonize -- tile-level partial
+    sums map-side, one tiny groupBy, never an exploded pixel table."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = tile * tile
@@ -171,10 +171,17 @@ def cell_stats(corrected: DataFrame, tile: int = TILE,
                 "vmax": np.where(fin, px, -np.inf).max(axis=1),
             })
 
-    p = corrected.mapInPandas(partials, schema=CELL_STATS_PARTIAL)
-    g = p.groupBy("cell", "method", "band").agg(
+    p = tiles.mapInPandas(partials, schema=CELL_STATS_PARTIAL)
+    return p.groupBy("cell", "method", "band").agg(
         F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss"),
         F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"))
+
+
+def cell_stats(corrected: DataFrame, tile: int = TILE,
+               round_to: int = 4) -> DataFrame:
+    """Per-cell aggregate statistics of corrected pixels (raster->vector):
+    (cell, method, band) -> n, mean, std_pop, min, max."""
+    g = cell_partials(corrected, tile)
     mean = F.col("s") / F.col("n")
     var = F.col("ss") / F.col("n") - mean * mean
     return g.select(

@@ -1,0 +1,122 @@
+"""Structured Streaming ingest: the correction pipeline as an incremental
+job over an append-only image table.
+
+At 10^12-image scale new scenes land continuously; re-running the batch
+job over the whole corpus per drop is O(corpus) instead of O(new).  This
+module runs the SAME engine stages (decode -> tile -> cell-index -> DEM
+join -> scalars -> kernels) inside ``foreachBatch`` of a file-source
+stream, so each micro-batch processes only newly-arrived image files and
+Spark's streaming checkpoint (WAL + source offsets) makes the whole thing
+exactly-once across crashes -- the streaming complement to the batch
+lineage layer (terraspark.lineage.StageRunner).
+
+Design notes for the foreachBatch shape (vs a pure streaming plan):
+* the correction pipeline needs two passes over each batch's tiles (scalar
+  regression aggregation, then the kernel map) -- a single streaming plan
+  cannot re-read its input, foreachBatch can (the standard pattern for
+  multi-pass sinks);
+* per-(image, band) regression scalars only aggregate pixels of ONE image,
+  and an image row never spans micro-batches, so batch-local scalars ==
+  global scalars: incremental results are byte-identical to the batch
+  engine (asserted in tests/test_streaming.py);
+* the DEM feature table is static and tiny -> derived once, persisted,
+  broadcast-joined into every batch.
+
+``cell_tile_counts`` shows the native streaming-aggregation path (stateful
+groupBy with update-mode state kept by Spark) for monitoring-style rollups
+where incremental state IS the product.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import METHODS, CorrectionParams, DEFAULT_PARAMS
+
+# w/h are long: pandas-written parquet stores them as INT64 and the tile
+# stage only consumes them scalar-side (never emits them), so the wider
+# type is the lossless common denominator for file-source schemas
+IMAGES_DDL = ("image_id string, bytes binary, w long, h long, fmt string, "
+              "caption string, phash long")
+
+
+def stream_correct(spark: SparkSession, images_dir: str, scenes_df,
+                   dem_df, out_dir: str, checkpoint_dir: str,
+                   methods=("cosine_t",),
+                   params: CorrectionParams = DEFAULT_PARAMS,
+                   max_files_per_trigger: int | None = None):
+    """Incremental correction over a directory of image parquet files.
+
+    Runs with ``availableNow`` trigger: drains everything not yet recorded
+    in the checkpoint, then stops -- re-invoking after new files arrive
+    processes ONLY the new ones (exactly-once via the streaming WAL).
+    Returns the finished StreamingQuery.
+    """
+    from terraspark import corrections
+    from terraspark.pipeline import TopoEngine
+
+    unknown = [m for m in methods if m not in METHODS]
+    if unknown:
+        raise ValueError(f"unknown methods: {unknown}")
+
+    eng = TopoEngine(spark, params=params)
+    feats = eng.dem_features(dem_df)          # static dim, derived once
+    feats.count()                             # materialize the persist
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        tiles = eng.tiles(batch_df, scenes_df)
+        joined = corrections.join_dem(tiles, feats).persist()
+        try:
+            sc = corrections.band_stats_df(joined, params, eng.tile)
+            corrected = corrections.apply_corrections(
+                joined, sc, methods, params, eng.tile)
+            (corrected.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_dir))
+        finally:
+            joined.unpersist()
+
+    reader = (spark.readStream.schema(IMAGES_DDL)
+              .option("recursiveFileLookup", "false"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(images_dir)
+
+    q = (stream.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def cell_tile_counts(spark: SparkSession, images_dir: str, scenes_df,
+                     checkpoint_dir: str, query_name: str = "cell_counts",
+                     cell_res: int | None = None):
+    """Native stateful streaming aggregation: tiles-per-cell counts kept as
+    Spark streaming state (update mode -> in-memory sink for inspection;
+    at scale the sink would be an upsertable store).
+
+    Demonstrates the pure-streaming plan (readStream -> mapInPandas decode
+    -> groupBy state) as opposed to the foreachBatch multi-pass shape.
+    Returns the finished StreamingQuery; read results from the
+    ``query_name`` in-memory table."""
+    from terraspark import tiling
+    from terraspark.config import CELL_RES
+
+    stream = spark.readStream.schema(IMAGES_DDL).parquet(images_dir)
+    tiles = tiling.tile_images(stream, scenes_df,
+                               cell_res=cell_res or CELL_RES,
+                               input_partitions=1)
+    counts = tiles.groupBy("cell").agg(F.count("*").alias("n_tiles"))
+    q = (counts.writeStream
+         .outputMode("complete")
+         .format("memory")
+         .queryName(query_name)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

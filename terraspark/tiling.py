@@ -98,14 +98,20 @@ def tile_images(images: DataFrame, scenes: DataFrame, tile: int = TILE,
     decode across a handful of tasks (at cluster scale the scan naturally
     has many splits; locally this keeps all cores busy).
     """
-    if input_partitions is None:
-        input_partitions = int(
-            images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # only shuffle when the scan is under-split (small local inputs):
-    # a production-scale scan already has >= target splits and shuffling
-    # raw image bytes (the biggest column) would be pure waste
-    if images.rdd.getNumPartitions() < input_partitions:
-        images = images.repartition(input_partitions)
+    if images.isStreaming:
+        pass  # streaming plans cannot inspect .rdd; the micro-batch source
+        #       already splits by file (maxFilesPerTrigger governs width)
+    else:
+        if input_partitions is None:
+            input_partitions = int(
+                images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # only shuffle when the scan cannot keep the cores busy (tiny local
+        # inputs): a many-file production-scale scan already has >= cores
+        # natural splits, and repartitioning would shuffle the raw image
+        # bytes -- the fattest column in the system -- for nothing
+        cores = images.sparkSession.sparkContext.defaultParallelism
+        if images.rdd.getNumPartitions() < min(cores, input_partitions):
+            images = images.repartition(input_partitions)
     src = images.join(F.broadcast(scenes), "image_id", "inner")
     return src.mapInPandas(
         lambda it: _tile_batches(it, tile, cell_res, bands),

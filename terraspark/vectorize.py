@@ -1,0 +1,130 @@
+"""Raster -> vector: polygonize thresholded cell regions via distributed
+connected components (the gdal_polygonize analogue, re-expressed as
+dataflow -- north rule: raster<->vector conversion).
+
+Pipeline:
+  1. per-cell statistic (mean of the band's pixels) -- mergeable partials,
+     never an exploded pixel table;
+  2. ``active`` cells = statistic > threshold (the raster mask);
+  3. 4-adjacency edges between active cells, generated with pure JVM bit
+     math on the int64 cell key (east = ilon+1 = cell+1 within the same
+     ilat lane; south = ilat+1 = cell + 2^28) -- no Python, no geometry
+     library;
+  4. connected components by iterative min-label propagation WITH pointer
+     jumping (label <- min(own, neighbors' labels, label's label)): the
+     plain neighbor-min loop needs O(diameter) rounds, path-halving makes
+     it O(log n) -- the difference between 40 and 7 shuffles on a
+     continent-sized region;
+  5. each component -> bounding-box polygon (WKT) + cell count.
+
+Every iteration localCheckpoints the label table: iterative Spark plans
+otherwise grow lineage linearly and re-execute the whole history each
+round (the classic iterative-algorithm trap).
+
+The SQL oracle (see __spark_entry__.oracle_sql, img_polygonize) runs the
+IDENTICAL edge arithmetic and a recursive-CTE transitive closure over the
+independently-committed numpy-model cell means, so the component logic is
+cross-checked end-to-end, not just its inputs.
+
+World-edge caveat: cell+1 wraps into the next ilat lane only at ilon =
+2^28-1 (lon = +180 deg at res 0); real scenes never touch it and the
+fixture grid is far from it -- documented, not guarded, identically on
+both engine and oracle sides.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LON_BITS = 28
+_MASK = (1 << _LON_BITS) - 1
+_SOUTH = 1 << _LON_BITS     # +1 in the ilat lane
+
+
+def _ilat(c):
+    return F.shiftright(c, _LON_BITS).bitwiseAND(F.lit(_MASK))
+
+
+def _ilon(c):
+    return c.bitwiseAND(F.lit(_MASK))
+
+
+def grid_edges(active: DataFrame) -> DataFrame:
+    """Symmetric 4-adjacency edges (src, dst) between active cells.
+
+    Two directed half-edge candidates per cell (east, south) are inner-
+    joined back to the active set (keeps both-active edges only), then
+    mirrored -- 2 narrow shuffles, no N^2 anywhere."""
+    c = F.col("cell")
+    east = active.select(c.alias("src"), (c + 1).alias("dst")) \
+        .where(_ilat(F.col("src")) == _ilat(F.col("dst")))  # wrap guard
+    south = active.select(c.alias("src"), (c + _SOUTH).alias("dst"))
+    both = east.unionByName(south) \
+        .join(active.select(F.col("cell").alias("dst")), "dst")
+    return both.select("src", "dst").unionByName(
+        both.select(F.col("dst").alias("src"),
+                    F.col("src").alias("dst"))).distinct()
+
+
+def connected_components(active: DataFrame, edges: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
+    """(cell, label) with label = MIN cell key of the component.
+
+    Min-label propagation + pointer jumping; converges when an iteration
+    changes nothing.  Label tables are tiny (one row per active cell, two
+    int64 columns) -- the pixel data never enters the loop."""
+    labels = active.select("cell", F.col("cell").alias("label")) \
+        .localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (edges.withColumnRenamed("src", "cell")
+               .join(labels, "cell")
+               .select(F.col("dst").alias("cell"), "label"))
+        merged = (labels.unionByName(nbr)
+                  .groupBy("cell").agg(F.min("label").alias("label")))
+        # pointer jump: every label is itself an active cell, so its own
+        # current label exists -- follow it one hop (path halving)
+        ptr = merged.select(F.col("cell").alias("label"),
+                            F.col("label").alias("jump"))
+        new = (merged.join(ptr, "label")
+               .select("cell", F.least("label", "jump").alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "cell")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def polygonize(cell_means: DataFrame, threshold: float,
+               max_iter: int = 50) -> DataFrame:
+    """cell_means(cell, mean) -> one row per connected above-threshold
+    region: (component, n_cells, lat_min/lat_max/lon_min/lon_max, wkt).
+
+    Bounds are cell EDGES (not centers): lat = ilat*size - 90 with
+    size = 2^-res degrees -- exact in binary floating point, so the WKT
+    string (fixed %.7f) is bit-deterministic on both engine and oracle."""
+    active = cell_means.where(F.col("mean") > threshold).select("cell")
+    labels = connected_components(active, grid_edges(active), max_iter)
+    res = F.shiftright(F.col("label"), 2 * _LON_BITS)
+    size = F.lit(1.0) / F.pow(F.lit(2.0), res.cast("double"))
+    comp = labels.groupBy("label").agg(
+        F.count("*").alias("n_cells"),
+        F.min(_ilat(F.col("cell"))).alias("la0"),
+        F.max(_ilat(F.col("cell"))).alias("la1"),
+        F.min(_ilon(F.col("cell"))).alias("lo0"),
+        F.max(_ilon(F.col("cell"))).alias("lo1"))
+    lat_min = comp["la0"] * size - 90.0
+    lat_max = (comp["la1"] + 1) * size - 90.0
+    lon_min = comp["lo0"] * size - 180.0
+    lon_max = (comp["lo1"] + 1) * size - 180.0
+    wkt = F.format_string(
+        "POLYGON((%.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f))",
+        lon_min, lat_min, lon_max, lat_min, lon_max, lat_max,
+        lon_min, lat_max, lon_min, lat_min)
+    return comp.select(
+        F.col("label").alias("component"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        lat_min.alias("lat_min"), lat_max.alias("lat_max"),
+        lon_min.alias("lon_min"), lon_max.alias("lon_max"),
+        wkt.alias("wkt"))

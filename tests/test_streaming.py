@@ -1,0 +1,112 @@
+"""Structured Streaming ingest: incremental correction == batch engine,
+exactly-once across re-invocations, native streaming aggregation.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from terraspark import streaming
+from terraspark.fixtures import (DEM_SCHEMA, SCENES_SCHEMA, build_tables,
+                                 to_spark)
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    images, scenes, dem, aoi, _ = build_tables(8)
+    src = os.path.join(root, "images_in")
+    os.makedirs(src)
+    # first drop: 4 images in two files (two input splits for the source)
+    images.iloc[:2].to_parquet(os.path.join(src, "part-0.parquet"),
+                               index=False)
+    images.iloc[2:4].to_parquet(os.path.join(src, "part-1.parquet"),
+                                index=False)
+    return {
+        "root": str(root), "src": src, "images": images,
+        "scenes_df": to_spark(spark, scenes, SCENES_SCHEMA),
+        "dem_df": to_spark(spark, dem, DEM_SCHEMA),
+    }
+
+
+def _summaries(spark, out_dir):
+    from terraspark.config import TILE
+    df = spark.read.parquet(out_dir)
+
+    def summarize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = np.frombuffer(b"".join(pdf["px"].tolist()),
+                               dtype="<f4").reshape(len(pdf), TILE * TILE)
+            fin = np.isfinite(px)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "band": pdf["band"],
+                "method": pdf["method"],
+                "n_valid": fin.sum(axis=1).astype("int64"),
+                "s": np.where(fin, px.astype(np.float64), 0.0).sum(axis=1)})
+
+    return (df.mapInPandas(summarize, schema="image_id string, band int, "
+                           "method string, n_valid long, s double")
+            .groupBy("image_id", "band", "method")
+            .agg(F.sum("n_valid").alias("n_valid"),
+                 F.round(F.sum("s"), 3).alias("s"))
+            .toPandas().sort_values(["image_id", "band", "method"])
+            .reset_index(drop=True))
+
+
+def test_stream_matches_batch_and_resumes(spark, stream_env):
+    env = stream_env
+    out = os.path.join(env["root"], "out")
+    ckpt = os.path.join(env["root"], "ckpt")
+
+    streaming.stream_correct(spark, env["src"], env["scenes_df"],
+                             env["dem_df"], out, ckpt,
+                             methods=("cosine_t", "scs"))
+    first = spark.read.parquet(out)
+    ids1 = {r["image_id"] for r in
+            first.select("image_id").distinct().collect()}
+    assert ids1 == {f"img_{i:06d}" for i in range(4)}
+
+    # second drop: 4 more images; SAME checkpoint -> only new files run
+    env["images"].iloc[4:].to_parquet(
+        os.path.join(env["src"], "part-2.parquet"), index=False)
+    streaming.stream_correct(spark, env["src"], env["scenes_df"],
+                             env["dem_df"], out, ckpt,
+                             methods=("cosine_t", "scs"))
+    all_rows = spark.read.parquet(out)
+    per_img = all_rows.groupBy("image_id").count().toPandas()
+    assert len(per_img) == 8
+    # no duplicates: every image has exactly 4 bands x 16 tiles x 2 methods
+    assert (per_img["count"] == 4 * 16 * 2).all()
+    # images 0-3 were NOT re-processed (their batch_id predates the resume)
+    bmax = all_rows.groupBy("image_id").agg(
+        F.max("batch_id").alias("b")).toPandas()
+    b0 = bmax[bmax["image_id"] < "img_000004"]["b"].max()
+    b1 = bmax[bmax["image_id"] >= "img_000004"]["b"].min()
+    assert b1 > b0
+
+    # incremental result == one-shot batch engine over all 8 images
+    from terraspark.pipeline import TopoEngine
+    from terraspark.fixtures import IMAGES_SCHEMA
+    eng = TopoEngine(spark)
+    images_df = to_spark(spark, env["images"], IMAGES_SCHEMA)
+    batch_out = os.path.join(env["root"], "batch_out")
+    eng.correct(images_df, env["scenes_df"], env["dem_df"],
+                methods=("cosine_t", "scs")).write.parquet(batch_out)
+    eng.unpersist()
+    a, b = _summaries(spark, out), _summaries(spark, batch_out)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_streaming_aggregation(spark, stream_env):
+    env = stream_env
+    ckpt = os.path.join(env["root"], "ckpt_agg")
+    streaming.cell_tile_counts(spark, env["src"], env["scenes_df"], ckpt,
+                               query_name="t_cell_counts")
+    got = spark.sql("SELECT * FROM t_cell_counts").toPandas()
+    # 8 images x 4 bands x 16 tiles = 512 tile rows across all cells
+    assert got["n_tiles"].sum() == 8 * 4 * 16
+    assert (got["n_tiles"] > 0).all()
