@@ -60,7 +60,12 @@ def ensure_bench_tables(n_images: int) -> str:
         images.iloc[i::files].to_parquet(
             f"{img_dir}/part-{i:05d}.parquet", index=False)
     scenes.to_parquet(f"{out}/scenes.parquet", index=False)
-    dem.to_parquet(f"{out}/dem.parquet", index=False)
+    dem_dir = f"{out}/dem.parquet"
+    os.makedirs(dem_dir, exist_ok=True)
+    dfiles = max(1, min(16, len(dem) // 64))
+    for i in range(dfiles):
+        dem.iloc[i::dfiles].to_parquet(
+            f"{dem_dir}/part-{i:05d}.parquet", index=False)
     aoi.to_parquet(f"{out}/aoi.parquet", index=False)
     open(marker, "w").write("ok")
     return out

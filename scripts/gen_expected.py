@@ -23,7 +23,7 @@ from terraspark.reference_model import OracleRun  # noqa: E402
 from terraspark import rank as trank  # noqa: E402
 
 N_IMAGES = 8
-N_TYPED = 4
+N_TYPED = 6   # one image per dtype of the full GDAL lattice (typed_fmt)
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 

@@ -126,9 +126,11 @@ def _jpeg_decode(data: bytes, bands: int, h: int, w: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ facade
-# typed raw rasters (the GDAL Byte/Int16/UInt16 lattice, SURVEY section 1.2):
-# integer pixels with the type's DefaultNDVLookup value as NoData sentinel
-_TYPED_RAW = {"raw_u8": "Byte", "raw_i16": "Int16", "raw_u16": "UInt16"}
+# typed raw rasters (the FULL GDAL Byte..Float64 lattice, SURVEY section
+# 1.2): pixels stored in the native type with the type's DefaultNDVLookup
+# value as NoData sentinel (raster_calc.py:175-180)
+_TYPED_RAW = {"raw_u8": "Byte", "raw_i16": "Int16", "raw_u16": "UInt16",
+              "raw_u32": "UInt32", "raw_i32": "Int32", "raw_f64": "Float64"}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:

@@ -118,12 +118,25 @@ def band_stats_df(joined: DataFrame, params: CorrectionParams,
     ever reaches the driver, so the scalar table scales to any number of
     images (the 10^12-image default path)."""
     agg = _stats_agg(joined, params, tile)
+    nan = F.lit(float("nan"))
+
+    def safe_div(num, den):
+        # degenerate groups (empty regression sample, zero-variance x,
+        # zero denominator) yield NaN -- bit-parity with the collected
+        # numpy path (kernels.ols_from_sums / scalars_from_stats), and
+        # CASE WHEN keeps the plan legal under ANSI mode (a bare `/`
+        # throws DIVIDE_BY_ZERO the first time a real corpus contains a
+        # fully-masked band)
+        return F.when(den != 0, num / den).otherwise(nan)
 
     def ols(prefix):
         n, sx, sy = F.col(f"n_{prefix}"), F.col(f"sx_{prefix}"), F.col(f"sy_{prefix}")
         sxx, sxy = F.col(f"sxx_{prefix}"), F.col(f"sxy_{prefix}")
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        intercept = (sy - slope * sx) / n
+        denom = n * sxx - sx * sx
+        slope = F.when((n != 0) & (denom != 0),
+                       (n * sxy - sx * sy) / denom).otherwise(nan)
+        intercept = F.when((n != 0) & (denom != 0),
+                           (sy - slope * sx) / n).otherwise(nan)
         return intercept, slope
 
     ri, rs = ols("reg")
@@ -131,11 +144,11 @@ def band_stats_df(joined: DataFrame, params: CorrectionParams,
     return agg.select(
         "image_id", "band",
         ri.alias("reg_intercept"), rs.alias("reg_slope"),
-        (ri / rs).alias("c"),
+        safe_div(ri, rs).alias("c"),
         ms.alias("k"),
-        (ms / mi).alias("pbc_c"),
-        (F.col("s_dn") / F.col("n_all")).alias("band_mean"),
-        (F.col("s_lum") / F.col("n_lum")).alias("lum_mean"),
+        safe_div(ms, mi).alias("pbc_c"),
+        safe_div(F.col("s_dn"), F.col("n_all")).alias("band_mean"),
+        safe_div(F.col("s_lum"), F.col("n_lum")).alias("lum_mean"),
     )
 
 
@@ -169,17 +182,24 @@ def _correct_batches(batches: Iterator[pd.DataFrame], methods: Sequence[str],
 def apply_corrections(joined: DataFrame, scalars,
                       methods: Sequence[str] = METHODS,
                       params: CorrectionParams = CorrectionParams(),
-                      tile: int = TILE) -> DataFrame:
-    """Join the scalars back (pandas frame -> broadcast; Spark DataFrame ->
-    planner's choice, broadcast for job-sized scalar tables) and run the
-    correction kernels."""
+                      tile: int = TILE,
+                      broadcast_scalars: bool = True) -> DataFrame:
+    """Join the scalars back and run the correction kernels.
+
+    The scalar table holds one row per (image, band) IN FLIGHT in this
+    job -- broadcastable by construction, and the broadcast hint matters:
+    an aggregation output has no size statistics, so without it the
+    planner sort-merge-joins and shuffles the fat tile table (px + lum +
+    slope binaries) on (image_id, band) -- measured 4x slower at 512
+    images.  Set ``broadcast_scalars=False`` only when one job's scalar
+    table itself exceeds executor memory; pre-bucket both sides then."""
     spark = joined.sparkSession
     if isinstance(scalars, pd.DataFrame):
         sc_df = F.broadcast(spark.createDataFrame(
             scalars, schema="image_id string, band int, " + ", ".join(
                 f"{f} double" for f in SCALAR_FIELDS)))
     else:
-        sc_df = scalars
+        sc_df = F.broadcast(scalars) if broadcast_scalars else scalars
     enriched = joined.join(sc_df, ["image_id", "band"], "inner")
     return enriched.mapInPandas(
         lambda it: _correct_batches(it, list(methods), tile, params),

@@ -217,6 +217,14 @@ def derive_features(dem: DataFrame, params: CorrectionParams,
     if partitions is None:
         partitions = int(
             dem.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # the halo emit (decode + 9x fan-out per cell) runs BEFORE the halo
+    # shuffle -- an under-split scan (one fat parquet file) would serialize
+    # it into one task, the hidden Amdahl fraction of the whole derivation;
+    # only shuffle when the scan really is too narrow for the cores
+    if not dem.isStreaming:
+        cores = dem.sparkSession.sparkContext.defaultParallelism
+        if dem.rdd.getNumPartitions() < min(cores, partitions):
+            dem = dem.repartition(partitions)
     halo = dem.mapInPandas(lambda it: _emit_halo(it, tile), schema=HALO_SCHEMA)
     shuffled = halo.repartition(partitions, "dem_id", "target") \
                    .sortWithinPartitions("dem_id", "target")

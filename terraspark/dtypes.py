@@ -56,6 +56,9 @@ FMT_DTYPE = {
     "raw_u8": "Byte",
     "raw_i16": "Int16",
     "raw_u16": "UInt16",
+    "raw_u32": "UInt32",
+    "raw_i32": "Int32",
+    "raw_f64": "Float64",
     "png": "UInt16",        # 16-bit grayscale PNG
     "jpeg": "Float32",      # stub codec reconstructs floats (lo + scale*q)
     "tiff": "Float32",
@@ -93,8 +96,10 @@ def decode_typed(data: bytes, gdal_type: str, bands: int, h: int,
     default NDV mapped to NaN (the engine-internal NoData mask)."""
     dt = NP_DTYPE[gdal_type]
     arr = np.frombuffer(data, dtype=dt).reshape(bands, h, w)
-    out = arr.astype(np.float32)
-    out[arr == np.asarray(DEFAULT_NDV[gdal_type], dtype=dt)] = np.nan
+    # mask the sentinel BEFORE the narrowing cast: Float64's default NDV
+    # (1.798e308) would otherwise overflow float32 and warn on every batch
+    mask = arr == np.asarray(DEFAULT_NDV[gdal_type], dtype=dt)
+    out = np.where(mask, np.nan, arr).astype(np.float32)
     return out
 
 

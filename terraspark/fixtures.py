@@ -147,9 +147,11 @@ def dem_features(z: np.ndarray, params: CorrectionParams):
 # default-NDV sentinel (e.g. Byte NDV=255 -> dn_max 254) so real pixels
 # never alias NoData
 _DN_MAX = {"raw_f32": 1000.0, "png": 10000.0, "jpeg": 255.0,
-           "raw_u16": 10000.0, "raw_u8": 254.0, "raw_i16": 10000.0}
-_INT_FMTS = ("png", "raw_u16", "raw_u8", "raw_i16")
-_NDV_FMTS = ("raw_f32", "raw_u16", "raw_u8", "raw_i16")
+           "raw_u16": 10000.0, "raw_u8": 254.0, "raw_i16": 10000.0,
+           "raw_u32": 100000.0, "raw_i32": 100000.0, "raw_f64": 1000.0}
+_INT_FMTS = ("png", "raw_u16", "raw_u8", "raw_i16", "raw_u32", "raw_i32")
+_NDV_FMTS = ("raw_f32", "raw_u16", "raw_u8", "raw_i16",
+             "raw_u32", "raw_i32", "raw_f64")
 
 
 def image_pixels(i: int, layout: Layout, lum_grid: np.ndarray,
@@ -196,10 +198,12 @@ def image_fmt(i: int) -> str:
 
 
 def typed_fmt(i: int) -> str:
-    """Format cycle for the TYPED fixture set (SURVEY section 1.2 dtype
-    lattice): UInt16 with NDV=65535, Byte with NDV=255, Int16 with
-    NDV=-32768 -- what real imagery (e.g. uint16 + NDV) looks like."""
-    return ("raw_u16", "raw_u8", "raw_i16")[i % 3]
+    """Format cycle for the TYPED fixture set: the FULL GDAL lattice
+    (SURVEY section 1.2) -- UInt16/Byte/Int16/UInt32/Int32/Float64, each
+    with its DefaultNDVLookup NoData sentinel (what real imagery, e.g.
+    uint16 + NDV, looks like)."""
+    return ("raw_u16", "raw_u8", "raw_i16",
+            "raw_u32", "raw_i32", "raw_f64")[i % 6]
 
 
 def caption_of(i: int) -> str:

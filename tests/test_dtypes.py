@@ -24,11 +24,14 @@ def test_widest_follows_gdal_ordinal_lattice():
 
 @pytest.mark.parametrize("gdal_t,lo,hi", [
     ("Byte", 0, 254), ("Int16", -32000, 32000), ("UInt16", 0, 65000),
+    ("UInt32", 0, 100000), ("Int32", -100000, 100000),
+    ("Float64", -1000, 1000),
 ])
 def test_typed_roundtrip_with_ndv(gdal_t, lo, hi):
     rng = np.random.default_rng(1)
     px = rng.uniform(lo, hi, (2, 16, 16)).astype(np.float32)
-    px = np.rint(px).astype(np.float32)
+    if gdal_t != "Float64":
+        px = np.rint(px).astype(np.float32)
     px[0, 3, 4] = nan
     px[1, 0, 0] = nan
     data = dtypes.encode_typed(px, gdal_t)
@@ -56,7 +59,7 @@ def test_codec_facade_typed_formats():
     rng = np.random.default_rng(2)
     px = np.rint(rng.uniform(0, 9000, (4, 32, 32))).astype(np.float32)
     px[:, 5, 5] = nan
-    for fmt in ("raw_u16", "raw_i16"):
+    for fmt in ("raw_u16", "raw_i16", "raw_u32", "raw_i32", "raw_f64"):
         data = codecs.encode(px, fmt)
         back = codecs.decode(data, fmt, 4, 32, 32)
         assert np.isnan(back[:, 5, 5]).all()
@@ -68,10 +71,11 @@ def test_codec_facade_typed_formats():
 def test_typed_fixture_images_decode_with_ndv():
     from terraspark.config import BANDS, IMG_H, IMG_W
     from terraspark.fixtures import build_tables, typed_fmt
-    images, *_ = build_tables(3, fmt_of=typed_fmt)
-    assert list(images["fmt"]) == ["raw_u16", "raw_u8", "raw_i16"]
+    images, *_ = build_tables(6, fmt_of=typed_fmt)
+    assert list(images["fmt"]) == ["raw_u16", "raw_u8", "raw_i16",
+                                   "raw_u32", "raw_i32", "raw_f64"]
     for _, r in images.iterrows():
         px = codecs.decode(r["bytes"], r["fmt"], BANDS, IMG_H, IMG_W)
         assert np.isnan(px).any()                  # NDV present
-        assert np.nanmax(px) <= 65000
+        assert np.nanmax(px) <= 100000
         assert codecs.dhash64(px) == r["phash"]    # integrity column holds

@@ -87,6 +87,32 @@ def test_join_plan_is_broadcast_and_pushed(spark, fixture_tables, tmp_path):
     assert "PushedFilters: [IsNotNull(fmt), EqualTo(fmt,raw_f32)]" in scan_plan
 
 
+def test_kernel_scalar_join_is_broadcast(spark, fixture_tables):
+    """The distributed-scalars path must BROADCAST the tiny per-(image,
+    band) scalar table into the kernel stage: without the hint the planner
+    has no size statistics for an aggregation output and sort-merge-joins,
+    shuffling the fat tile table (px + lum + slope blobs) -- measured 4x
+    slower at 512 images."""
+    from terraspark import corrections
+    from terraspark.config import METHODS
+    from terraspark.fixtures import (DEM_SCHEMA, IMAGES_SCHEMA,
+                                     SCENES_SCHEMA, to_spark)
+    from terraspark.pipeline import TopoEngine
+
+    images, scenes, dem, aoi, grids, oracle = fixture_tables
+    eng = TopoEngine(spark)
+    j = eng.joined(to_spark(spark, images.iloc[:2], IMAGES_SCHEMA),
+                   to_spark(spark, scenes, SCENES_SCHEMA),
+                   to_spark(spark, dem, DEM_SCHEMA), persist=False)
+    sc = eng.scalars_df(j)
+    corrected = corrections.apply_corrections(j, sc, METHODS[:1],
+                                              eng.params, eng.tile)
+    plan = corrected._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    eng.unpersist()
+
+
 def test_metrics_approx_percentile_close_to_exact(spark, fixture_tables):
     """The documented 100TB swap (percentile_approx) stays within 2% of the
     exact percentiles on the fixture distribution."""
