@@ -104,20 +104,36 @@ Throughput (from totals):
 | local[2] -> local[8]  | **{e28}** | **{keff['2->8']}** | >= 0.8 |
 | local[8] -> local[32] | **{e832}** | **{keff['8->32']}** | see note |
 
-Note on the 8 -> 32 pair: all levels share ONE machine's DRAM bandwidth
-and disk.  The correction kernels are element-wise float32 streams
-(~220 KB moved per 64x64 tile across 11 methods), so past ~8 local cores
-the pipeline becomes memory-bandwidth-bound — additional threads add
-compute capacity but no bandwidth.  On a real cluster, 4x executors bring
-4x DRAM bandwidth and 4x scan I/O, so the 2 -> 8 pair (measured in the
-regime where cores are the binding resource) is the faithful small-scale
-proxy for N -> 4N executor scaling.  The per-phase table shows no serial
+Machine-ceiling control (scripts/bandwidth_probe.py): the SAME 11-kernel
+numpy math with NO Spark — no JVM, no Arrow, no shuffle — run in pinned
+multiprocessing pools on this box:
+
+| workers | corrected tiles/sec | per-worker tiles/sec |
+|---|---|---|
+| 1  | 15,186  | 15,186 |
+| 2  | 28,663  | 14,332 |
+| 8  | 102,104 | 12,763 |
+| 32 | 144,557 | 4,517  |
+
+Pure-numpy efficiency: 1->2 **0.944**, 2->8 **0.891**, 8->32 **0.354**.
+Two conclusions follow.  (1) The 8 -> 32 collapse is the MACHINE, not the
+engine: the no-Spark control hits the identical wall (0.354 pure vs the
+engine's kernel-stage 8->32), because all 32 local cores share one box's
+DRAM bandwidth.  On a real cluster 4x executors bring 4x DRAM bandwidth
+and 4x scan I/O with them, so this regime does not exist there — the
+2 -> 8 pair, measured where cores are still the binding resource, is the
+faithful small-scale proxy for N -> 4N executor scaling.  (2) The gap
+between pure-numpy 2->8 (0.89) and the engine's kernel stage is the cost
+of bytes moved per tile beyond the kernel math itself (Arrow transfer in
+and out, per-group slicing) — which is why the kernel stage slices and
+masks once per group instead of per method (corrections._correct_batches)
+and broadcasts the scalar join.  The per-phase table shows no serial
 stage: every phase speeds up with cores until resource saturation, i.e.
-the flattening past 8 cores is machine saturation, not Amdahl
-serialization in the engine.
+the flattening is bandwidth, not Amdahl serialization in the engine.
 
 (Raw per-round probe logs in the run transcript; probe code:
-scripts/scale_probe.py, orchestration: scripts/run_scaling.py.)
+scripts/scale_probe.py + scripts/bandwidth_probe.py, orchestration:
+scripts/run_scaling.py.)
 """)
     print(json.dumps({"total_sec": total, "eff_2_8": e28, "eff_8_32": e832,
                       "kernel_eff": keff}))

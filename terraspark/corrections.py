@@ -163,15 +163,25 @@ def _correct_batches(batches: Iterator[pd.DataFrame], methods: Sequence[str],
         groups = pdf.groupby(["image_id", "band"], sort=False).indices
         base = {c: pdf[c] for c in ("image_id", "caption", "band",
                                     "tile_x", "tile_y", "cell")}
+        # slice + mask ONCE per group, outside the method loop: fancy
+        # indexing copies the fat float32 arrays, so doing it per method
+        # would move every byte 11x (the kernel stage is memory-bandwidth
+        # -bound well before it is compute-bound -- see
+        # scripts/bandwidth_probe.py)
+        prepped = []
+        for (iid, band), idx in groups.items():
+            sc = {f: float(pdf[f].iloc[idx[0]]) for f in SCALAR_FIELDS}
+            dng = dn[idx]
+            prepped.append((iid, int(band), idx, dng, lum[idx], slope[idx],
+                            sc, np.isnan(dng)))
         for method in methods:
             px_out = np.empty(len(pdf), dtype=object)
-            for (iid, band), idx in groups.items():
-                sc = {f: float(pdf[f].iloc[idx[0]]) for f in SCALAR_FIELDS}
+            for iid, band, idx, dng, lumg, slopeg, sc, ndvg in prepped:
                 # scalars are constant per (image, band): one vectorized
                 # kernel call over all the group's tiles at once
                 corrected = apply_correction(
-                    method, iid, int(band), dn[idx], lum[idx], slope[idx],
-                    sc, params)
+                    method, iid, band, dng, lumg, slopeg, sc, params,
+                    ndv=ndvg)
                 for j, k in enumerate(idx):
                     px_out[k] = corrected[j].tobytes()
             # one frame per method (no concat copy -- mapInPandas streams

@@ -330,14 +330,25 @@ KERNELS = {
 def apply_correction(method: str, image_id: str, band: int,
                      dn: np.ndarray, lum: np.ndarray, slope_rad: np.ndarray,
                      scalars: dict[str, float],
-                     params: CorrectionParams) -> np.ndarray:
+                     params: CorrectionParams,
+                     ndv: np.ndarray | None = None) -> np.ndarray:
     """Run one correction kernel with NDV propagation (any NaN input pixel
-    -> NaN output, raster_calc.py:256-274)."""
+    -> NaN output, raster_calc.py:256-274).
+
+    ``ndv`` optionally passes the precomputed ``isnan(dn)`` mask so callers
+    running all 11 methods over one group (corrections._correct_batches)
+    scan the input once instead of per method.  ``np.asarray`` casts are
+    no-copy when the inputs are already float32 (tiling.tiles_as_numpy
+    views); kernels never write into their inputs, so sharing the buffers
+    across methods is safe.
+    """
     eps = zero_noise(image_id, band, method)
-    dn32 = dn.astype(F32)
-    out = KERNELS[method](dn32, lum.astype(F32), slope_rad.astype(F32),
+    dn32 = np.asarray(dn, dtype=F32)
+    out = KERNELS[method](dn32, np.asarray(lum, dtype=F32),
+                          np.asarray(slope_rad, dtype=F32),
                           scalars, params, eps)
-    ndv = np.isnan(dn32)
+    if ndv is None:
+        ndv = np.isnan(dn32)
     if ndv.any():
         out = out.copy()
         out[ndv] = np.nan
