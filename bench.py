@@ -45,11 +45,20 @@ IMAGE_FILES = 64   # images land as a many-file table (a production corpus
 
 def ensure_bench_tables(n_images: int) -> str:
     """Write deterministic fixture tables to parquet once (input prep,
-    excluded from timings)."""
+    excluded from timings).
+
+    The done-marker carries the LAYOUT parameters: a bench dir written by
+    an older layout (e.g. the pre-split single-file images.parquet) is
+    regenerated instead of silently reused, so one-shot bench numbers are
+    always measured against the layout the code ships with."""
     out = os.path.join(BENCH_DIR, f"n{n_images}")
     marker = os.path.join(out, "_DONE")
+    layout = f"v2 image_files={IMAGE_FILES} n={n_images}"
     if os.path.exists(marker):
-        return out
+        if open(marker).read() == layout:
+            return out
+        import shutil
+        shutil.rmtree(out)
     from terraspark.fixtures import build_tables
     os.makedirs(out, exist_ok=True)
     images, scenes, dem, aoi, _ = build_tables(n_images)
@@ -67,7 +76,7 @@ def ensure_bench_tables(n_images: int) -> str:
         dem.iloc[i::dfiles].to_parquet(
             f"{dem_dir}/part-{i:05d}.parquet", index=False)
     aoi.to_parquet(f"{out}/aoi.parquet", index=False)
-    open(marker, "w").write("ok")
+    open(marker, "w").write(layout)
     return out
 
 

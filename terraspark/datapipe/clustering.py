@@ -41,32 +41,58 @@ def _assign(e: DataFrame, centroids: np.ndarray) -> DataFrame:
     return e.withColumn("cluster", best.cid).withColumn("cos", best.cos)
 
 
+def _lloyd(e: DataFrame, k: int, iters: int):
+    """Shared Lloyd loop: returns (last assignment DF, final centroid
+    matrix c_iters).  The assignment is the one computed against
+    c_{iters-1} (kmeans contract); c_iters is the post-loop recompute
+    (kmeans_centroids contract -- what an IVF index would be built on)."""
+    init = e.orderBy("vec_id").limit(k).collect()
+    centroids = np.array([r["vec"] for r in init], dtype=np.float64)
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(e, centroids)
+        # distributed centroid recompute: mean per (cluster, dim)
+        means = (assigned
+                 .select("cluster", F.posexplode("vec").alias("pos", "x"))
+                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+                 .collect())
+        new = centroids.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for cid, dims in by_cluster.items():
+            for pos, m in dims.items():
+                new[cid, pos] = m
+        centroids = new
+    return assigned, centroids
+
+
 def kmeans(embeddings: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     """Returns (vec_id, cluster, cos) after ``iters`` Lloyd iterations."""
     e = with_double_vec(embeddings).select("vec_id", "vec").persist()
     try:
-        init = e.orderBy("vec_id").limit(k).collect()
-        centroids = np.array([r["vec"] for r in init], dtype=np.float64)
-        assigned = None
-        for _ in range(iters):
-            assigned = _assign(e, centroids)
-            # distributed centroid recompute: mean per (cluster, dim)
-            means = (assigned
-                     .select("cluster", F.posexplode("vec").alias("pos", "x"))
-                     .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
-                     .collect())
-            new = centroids.copy()
-            by_cluster: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-            for cid, dims in by_cluster.items():
-                for pos, m in dims.items():
-                    new[cid, pos] = m
-            centroids = new
+        assigned, _ = _lloyd(e, k, iters)
         return assigned.select("vec_id", "cluster",
                                F.round("cos", 6).alias("cos"))
     finally:
         e.unpersist()
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 8,
+                     iters: int = 5) -> DataFrame:
+    """Trained IVF centroids: (centroid_id, cvec double[]) after ``iters``
+    full Lloyd recomputes -- plug into similarity.ivf_assign/ivf_topk
+    (``centroids=``) to replace the lowest-vec_id stand-in.  The matrix is
+    k x dim (driver-tiny); returned as a DataFrame so the IVF side can
+    broadcast it like any other centroid table."""
+    spark = embeddings.sparkSession
+    e = with_double_vec(embeddings).select("vec_id", "vec").persist()
+    try:
+        _, centroids = _lloyd(e, k, iters)
+    finally:
+        e.unpersist()
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "centroid_id int, cvec array<double>")
 
 
 def inertia(assigned_with_vec: DataFrame) -> float:

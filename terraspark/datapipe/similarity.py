@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 
 TOPK_BUCKETS = 32          # level-1 fan-out of the two-level top-k
 DEFAULT_MAX_CELL = 10_000  # near-dup pair-generation cell cap
+SUB_BLOCK = 1_024          # cells above this size pair via hash sub-blocks
+SRP_BITS = 16              # signed-random-projection signature width
+SRP_SEED = 20240817        # hyperplane RNG seed (shared with the oracle)
 
 
 def _dot(a, b):
@@ -48,6 +51,38 @@ def _norm(a):
 def with_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("vec", F.transform(F.col(col),
                                             lambda x: x.cast("double")))
+
+
+def srp_hyperplanes(dim: int, bits: int = SRP_BITS,
+                    seed: int = SRP_SEED) -> list[list[int]]:
+    """Deterministic Rademacher (+-1) hyperplanes, one row per signature
+    bit.  The SAME literal rows are inlined into the engine's column
+    expressions and the DuckDB oracle's SQL (oracle_sql dp_srp_signature),
+    so both sides project against byte-identical planes."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(bits, dim)) * 2 - 1).tolist()
+
+
+def srp_signature(embeddings: DataFrame, dim: int,
+                  bits: int = SRP_BITS) -> DataFrame:
+    """16-bit signed-random-projection (cosine-LSH) signature: bit j of
+    ``srp`` is ``dot(v, h_j) > 0`` for the j-th Rademacher hyperplane --
+    Charikar's SimHash for real vectors (the embedding analogue of
+    dedup.simhash16; hamming distance estimates angular distance).
+
+    Scale shape: one narrow projection per row, pure JVM higher-order
+    functions -- NO shuffle, NO Python; at 10^12 rows this is a single
+    map stage appended to the scan."""
+    planes = srp_hyperplanes(dim, bits)
+    e = with_double_vec(embeddings)
+    sig = None
+    for j, h in enumerate(planes):
+        dot = _dot(F.col("vec"),
+                   F.array(*[F.lit(float(x)) for x in h]))
+        bit = F.when(dot > 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return e.select("vec_id", sig.cast("long").alias("srp"))
 
 
 def _topk_per_query(scored: DataFrame, k: int,
@@ -87,16 +122,28 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[str] | list[int],
     return _topk_per_query(scored, k)
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 8,
-               probes: int = 1) -> DataFrame:
-    """Assign every vector to its ``probes`` nearest centroids (max cosine;
-    ties by centroid id).  Centroids = the n lowest vec_ids (deterministic).
-    probes=1 returns (vec_id, centroid_id) via a shuffle-light groupBy
-    max_by (map-side combine, no window sort)."""
+def default_centroids(embeddings: DataFrame,
+                      n_centroids: int = 8) -> DataFrame:
+    """The deterministic 'training' stand-in: centroids = the n lowest
+    vec_ids.  Swap for :func:`terraspark.datapipe.clustering
+    .kmeans_centroids` output to search trained cells (higher recall at
+    equal probe cost -- measured in tests/test_datapipe_extra.py)."""
     e = with_double_vec(embeddings)
     w_ids = e.select("vec_id").orderBy("vec_id").limit(n_centroids)
-    cent = e.join(F.broadcast(w_ids), "vec_id").select(
+    return e.join(F.broadcast(w_ids), "vec_id").select(
         F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec"))
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8,
+               probes: int = 1, centroids: DataFrame | None = None) -> DataFrame:
+    """Assign every vector to its ``probes`` nearest centroids (max cosine;
+    ties by centroid id).  ``centroids`` (centroid_id, cvec double[]) --
+    e.g. clustering.kmeans_centroids output -- overrides the lowest-vec_id
+    stand-in.  probes=1 returns (vec_id, centroid_id) via a shuffle-light
+    groupBy max_by (map-side combine, no window sort)."""
+    e = with_double_vec(embeddings)
+    cent = centroids if centroids is not None \
+        else default_centroids(embeddings, n_centroids)
     cos = (_dot(F.col("vec"), F.col("cvec"))
            / (_norm(F.col("vec")) * _norm(F.col("cvec"))))
     scored = e.crossJoin(F.broadcast(cent)).select(
@@ -122,44 +169,75 @@ def cell_size_audit(assign: DataFrame, max_cell: int) -> DataFrame:
 
 def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
                   n_centroids: int = 8,
-                  max_cell: int = DEFAULT_MAX_CELL) -> DataFrame:
+                  max_cell: int = DEFAULT_MAX_CELL,
+                  sub_block: int = SUB_BLOCK,
+                  n_blocks: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by IVF cell: the
     quadratic comparison only runs inside each centroid's bucket (the
     embedding analogue of LSH banding).  Cells above ``max_cell`` are
     excluded from pairing (skew guard -- see module docstring; audit the
-    drops with :func:`cell_size_audit`).  Returns (vec_a < vec_b, cos)."""
+    drops with :func:`cell_size_audit`).  Returns (vec_a < vec_b, cos).
+
+    Skew guard #2 -- SUB-BLOCKING: a cell at the cap would still put
+    max_cell^2 comparisons in ONE task.  Cells above ``sub_block`` rows
+    split the self-join by a secondary hash of vec_id into ``n_blocks``
+    buckets: the left side is replicated across all buckets, the right
+    side keyed by its own bucket, so the join key becomes (cell, bucket)
+    -- per-task pair count drops to n^2/n_blocks and the cell's work
+    spreads over n_blocks tasks.  Each unordered pair (x < y) still
+    appears EXACTLY once (x's replica in bucket(y) meets y; y's replica
+    in bucket(x) meets x but fails x < y), so results are identical to
+    the direct path (asserted in tests/test_dedup_caps.py)."""
     assign = ivf_assign(embeddings, n_centroids)
     sizes = assign.groupBy("centroid_id").agg(F.count("*").alias("_n"))
-    ok = sizes.where(F.col("_n") <= max_cell).select("centroid_id")
+    ok = sizes.where(F.col("_n") <= max_cell) \
+        .select("centroid_id", (F.col("_n") > sub_block).alias("_big"))
     e = (with_double_vec(embeddings).join(assign, "vec_id")
          .join(F.broadcast(ok), "centroid_id"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
-                 "centroid_id")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
-                 "centroid_id")
-    pairs = a.join(b, "centroid_id").where(F.col("vec_a") < F.col("vec_b"))
-    cos = (_dot(F.col("va"), F.col("vb"))
-           / (_norm(F.col("va")) * _norm(F.col("vb"))))
-    return (pairs.select("vec_a", "vec_b", cos.alias("cos"))
-            .where(F.col("cos") >= threshold)
-            .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
+
+    def pair_cos(pairs):
+        cos = (_dot(F.col("va"), F.col("vb"))
+               / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        return (pairs.select("vec_a", "vec_b", cos.alias("cos"))
+                .where(F.col("cos") >= threshold)
+                .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
+
+    small = e.where(~F.col("_big"))
+    a = small.select(F.col("vec_id").alias("vec_a"),
+                     F.col("vec").alias("va"), "centroid_id")
+    b = small.select(F.col("vec_id").alias("vec_b"),
+                     F.col("vec").alias("vb"), "centroid_id")
+    direct = pair_cos(a.join(b, "centroid_id")
+                      .where(F.col("vec_a") < F.col("vec_b")))
+
+    big = e.where(F.col("_big"))
+    bkt = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    ab = (big.select(F.col("vec_id").alias("vec_a"),
+                     F.col("vec").alias("va"), "centroid_id")
+          .withColumn("bucket",
+                      F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))))
+    bb = big.select(F.col("vec_id").alias("vec_b"),
+                    F.col("vec").alias("vb"), "centroid_id",
+                    bkt.alias("bucket"))
+    blocked = pair_cos(ab.join(bb, ["centroid_id", "bucket"])
+                       .where(F.col("vec_a") < F.col("vec_b")))
+    return direct.unionByName(blocked)
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: list, k: int = 5,
-             n_centroids: int = 8, probes: int = 1) -> DataFrame:
+             n_centroids: int = 8, probes: int = 1,
+             centroids: DataFrame | None = None) -> DataFrame:
     """ANN: search the query's ``probes`` nearest IVF cells (multi-probe
     recovers recall lost to cell-boundary effects; measured vs brute force
-    in tests/test_datapipe_extra.py)."""
-    assign = ivf_assign(embeddings, n_centroids)
+    in tests/test_datapipe_extra.py).  ``centroids`` swaps the lowest-
+    vec_id stand-in for trained ones (clustering.kmeans_centroids)."""
+    cent = centroids if centroids is not None \
+        else default_centroids(embeddings, n_centroids)
+    assign = ivf_assign(embeddings, n_centroids, centroids=cent)
     e = with_double_vec(embeddings).join(assign, "vec_id")
     # query probe cells come from the FULL centroid set (same assignment
     # universe as the data vectors), ranked by cosine
     qv = with_double_vec(embeddings.where(F.col("vec_id").isin(query_ids)))
-    w_ids = with_double_vec(embeddings).select("vec_id") \
-        .orderBy("vec_id").limit(n_centroids)
-    cent = with_double_vec(embeddings).join(F.broadcast(w_ids), "vec_id") \
-        .select(F.col("vec_id").alias("centroid_id"),
-                F.col("vec").alias("cvec"))
     ccos = (_dot(F.col("vec"), F.col("cvec"))
             / (_norm(F.col("vec")) * _norm(F.col("cvec"))))
     wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),

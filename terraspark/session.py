@@ -25,6 +25,11 @@ def build_session(app: str = "terraspark", cores: int | None = None,
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin the session timezone: timestamp_ntz -> timestamp casts (e.g.
+        # sessionization's gap arithmetic) must not depend on the host TZ
+        # -- in a DST zone an un-pinned cast shifts gaps straddling a
+        # transition by +-3600s vs the UTC-fixed oracle
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

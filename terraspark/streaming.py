@@ -5,10 +5,21 @@ At 10^12-image scale new scenes land continuously; re-running the batch
 job over the whole corpus per drop is O(corpus) instead of O(new).  This
 module runs the SAME engine stages (decode -> tile -> cell-index -> DEM
 join -> scalars -> kernels) inside ``foreachBatch`` of a file-source
-stream, so each micro-batch processes only newly-arrived image files and
-Spark's streaming checkpoint (WAL + source offsets) makes the whole thing
-exactly-once across crashes -- the streaming complement to the batch
-lineage layer (terraspark.lineage.StageRunner).
+stream, so each micro-batch processes only newly-arrived image files.
+Exactly-once OUTPUT is the combination of (a) the streaming checkpoint
+(WAL + source offsets: a file is delivered to at most one successful
+batch) and (b) :func:`write_batch`'s per-batch-id dynamic partition
+overwrite (a replayed batch rewrites its own partition instead of
+appending) -- foreachBatch alone is only at-least-once.  The streaming
+complement to the batch lineage layer (terraspark.lineage.StageRunner).
+
+Correction-method semantics: ALL 11 methods are streaming-safe, including
+the regression-based ones (c_correction, veca, teillet, minnaert*, pbc).
+The scalar regressions aggregate per (image_id, band) and an image row
+never spans micro-batches (the file source delivers whole rows), so
+batch-local scalars are IDENTICAL to what the batch engine computes --
+not merely approximately: asserted hash-exact for a regression method in
+tests/test_streaming.py::test_stream_regression_method_parity.
 
 Design notes for the foreachBatch shape (vs a pure streaming plan):
 * the correction pipeline needs two passes over each batch's tiles (scalar
@@ -38,6 +49,21 @@ from .config import METHODS, CorrectionParams, DEFAULT_PARAMS
 # type is the lossless common denominator for file-source schemas
 IMAGES_DDL = ("image_id string, bytes binary, w long, h long, fmt string, "
               "caption string, phash long")
+
+
+def write_batch(corrected: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Idempotent per-batch sink: the micro-batch lands in its OWN
+    ``batch_id=<n>`` partition via dynamic partition overwrite, so a
+    foreachBatch replay (crash after the parquet commit but before the
+    streaming checkpoint records the offset) rewrites the identical
+    partition instead of appending duplicate rows -- this is what turns
+    foreachBatch's at-least-once redelivery into exactly-once OUTPUT
+    (tests/test_streaming.py::test_batch_write_idempotent)."""
+    (corrected.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(out_dir))
 
 
 def stream_correct(spark: SparkSession, images_dir: str, scenes_df,
@@ -72,8 +98,7 @@ def stream_correct(spark: SparkSession, images_dir: str, scenes_df,
             sc = corrections.band_stats_df(joined, params, eng.tile)
             corrected = corrections.apply_corrections(
                 joined, sc, methods, params, eng.tile)
-            (corrected.withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_dir))
+            write_batch(corrected, batch_id, out_dir)
         finally:
             joined.unpersist()
 

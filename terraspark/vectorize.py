@@ -26,10 +26,10 @@ IDENTICAL edge arithmetic and a recursive-CTE transitive closure over the
 independently-committed numpy-model cell means, so the component logic is
 cross-checked end-to-end, not just its inputs.
 
-World-edge caveat: cell+1 wraps into the next ilat lane only at ilon =
-2^28-1 (lon = +180 deg at res 0); real scenes never touch it and the
-fixture grid is far from it -- documented, not guarded, identically on
-both engine and oracle sides.
+World-edge guards: cell+1 would wrap into the next ilat lane at ilon =
+2^28-1 (lon = +180 deg at res 0) and cell+2^28 would carry into the res
+field at ilat = 2^28-1 (lat = +90 deg); both lanes are guarded
+symmetrically, with the IDENTICAL predicates in the SQL oracle.
 """
 from __future__ import annotations
 
@@ -58,7 +58,11 @@ def grid_edges(active: DataFrame) -> DataFrame:
     c = F.col("cell")
     east = active.select(c.alias("src"), (c + 1).alias("dst")) \
         .where(_ilat(F.col("src")) == _ilat(F.col("dst")))  # wrap guard
-    south = active.select(c.alias("src"), (c + _SOUTH).alias("dst"))
+    # symmetric wrap guard on the ilat lane: at ilat = 2^28-1 the +2^28
+    # would carry into the res field and fabricate a cross-resolution edge
+    south = active.select(c.alias("src"), (c + _SOUTH).alias("dst")) \
+        .where(F.shiftright(F.col("src"), 2 * _LON_BITS)
+               == F.shiftright(F.col("dst"), 2 * _LON_BITS))
     both = east.unionByName(south) \
         .join(active.select(F.col("cell").alias("dst")), "dst")
     return both.select("src", "dst").unionByName(

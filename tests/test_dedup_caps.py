@@ -76,3 +76,33 @@ def test_neardup_cell_cap(spark):
     assign = similarity.ivf_assign(emb, n_centroids=4)
     audit = similarity.cell_size_audit(assign, max_cell=50).toPandas()
     assert len(audit) == 1 and int(audit["n"].iloc[0]) >= 100
+
+
+def test_neardup_sub_blocking_is_transparent(spark):
+    """A cell above ``sub_block`` pairs via hash sub-blocks (bounded
+    per-task pair count); the pair set must be IDENTICAL to the direct
+    quadratic path -- each unordered pair generated exactly once."""
+    rng = np.random.default_rng(11)
+    dirs = [rng.normal(0, 1, 8) for _ in range(2)]
+    rows = [{"vec_id": i, "embedding": d.astype(np.float32).tolist()}
+            for i, d in enumerate(dirs)]
+    # 80 near-dups in cell 0 (above the sub_block threshold below),
+    # 10 in cell 1 (below it -> direct path)
+    for i in range(2, 82):
+        rows.append({"vec_id": i,
+                     "embedding": (dirs[0] + rng.normal(0, 0.01, 8))
+                     .astype(np.float32).tolist()})
+    for i in range(82, 92):
+        rows.append({"vec_id": i,
+                     "embedding": (dirs[1] + rng.normal(0, 0.01, 8))
+                     .astype(np.float32).tolist()})
+    emb = spark.createDataFrame(pd.DataFrame(rows),
+                                "vec_id long, embedding array<float>")
+    direct = similarity.neardup_pairs(emb, threshold=0.9, n_centroids=2,
+                                      sub_block=10**9).toPandas() \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    blocked = similarity.neardup_pairs(emb, threshold=0.9, n_centroids=2,
+                                       sub_block=40, n_blocks=4).toPandas() \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    assert len(direct) > 3000        # the big cell really is quadratic
+    pd.testing.assert_frame_equal(direct, blocked)

@@ -110,3 +110,45 @@ def test_streaming_aggregation(spark, stream_env):
     # 8 images x 4 bands x 16 tiles = 512 tile rows across all cells
     assert got["n_tiles"].sum() == 8 * 4 * 16
     assert (got["n_tiles"] > 0).all()
+
+
+def test_batch_write_idempotent(spark, stream_env, tmp_path):
+    """A foreachBatch replay (crash between parquet commit and checkpoint
+    commit) re-runs write_batch with the SAME batch_id: the dynamic
+    partition overwrite must rewrite, not duplicate."""
+    env = stream_env
+    out = str(tmp_path / "idem_out")
+    from terraspark.pipeline import TopoEngine
+    from terraspark.fixtures import IMAGES_SCHEMA
+    eng = TopoEngine(spark)
+    images_df = to_spark(spark, env["images"].iloc[:2], IMAGES_SCHEMA)
+    corrected = eng.correct(images_df, env["scenes_df"], env["dem_df"],
+                            methods=("cosine_t",))
+    streaming.write_batch(corrected, 0, out)
+    n1 = spark.read.parquet(out).count()
+    streaming.write_batch(corrected, 0, out)       # replay of batch 0
+    assert spark.read.parquet(out).count() == n1   # no duplicates
+    streaming.write_batch(corrected, 1, out)       # a NEW batch appends
+    assert spark.read.parquet(out).count() == 2 * n1
+    eng.unpersist()
+
+
+def test_stream_regression_method_parity(spark, stream_env, tmp_path):
+    """Regression-based methods are streaming-safe: scalars aggregate per
+    (image, band) and image rows never span micro-batches, so streamed
+    scalars == batch scalars exactly (module docstring contract)."""
+    env = stream_env
+    out, ckpt = str(tmp_path / "reg_out"), str(tmp_path / "reg_ckpt")
+    streaming.stream_correct(spark, env["src"], env["scenes_df"],
+                             env["dem_df"], out, ckpt,
+                             methods=("veca", "c_correction"))
+    # batch engine over the SAME files currently in src
+    from terraspark.pipeline import TopoEngine
+    eng = TopoEngine(spark)
+    batch_out = str(tmp_path / "reg_batch")
+    eng.correct(spark.read.schema(streaming.IMAGES_DDL).parquet(env["src"]),
+                env["scenes_df"], env["dem_df"],
+                methods=("veca", "c_correction")).write.parquet(batch_out)
+    eng.unpersist()
+    a, b = _summaries(spark, out), _summaries(spark, batch_out)
+    pd.testing.assert_frame_equal(a, b)

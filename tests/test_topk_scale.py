@@ -110,3 +110,60 @@ def test_ivf_assign_max_by_matches_window(spark, emb):
         .toPandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, win)
     assert len(ref) == 2 * len(got)        # probes=2 doubles the fan-out
+
+
+def test_srp_signature_matches_numpy(spark, emb):
+    """Engine SRP bits == independent numpy projection against the same
+    hyperplanes; signatures are 16-bit and deterministic across runs."""
+    got = similarity.srp_signature(emb, dim=16).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    planes = np.array(similarity.srp_hyperplanes(16), dtype=np.float64)
+    src = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in src["embedding"]])
+    dots = vecs @ planes.T                       # (n, bits)
+    bits = (dots > 0).astype(np.int64)
+    weights = 1 << (15 - np.arange(16, dtype=np.int64))
+    exp = (bits * weights).sum(axis=1)
+    assert (got["srp"].to_numpy() == exp).all()
+    assert got["srp"].between(0, (1 << 16) - 1).all()
+    again = similarity.srp_signature(emb, dim=16).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (again["srp"].to_numpy() == got["srp"].to_numpy()).all()
+
+
+def test_srp_hamming_tracks_cosine(spark, emb):
+    """Sanity: near-duplicate vectors collide on most SRP bits while a
+    vector and its negation disagree on every bit."""
+    import pandas as pd
+    base = np.array(emb.toPandas()["embedding"].iloc[0], dtype=np.float32)
+    rows = [{"vec_id": 0, "embedding": base.tolist()},
+            {"vec_id": 1, "embedding": (base * 1.001).tolist()},
+            {"vec_id": 2, "embedding": (-base).tolist()}]
+    df = spark.createDataFrame(pd.DataFrame(rows),
+                               "vec_id long, embedding array<float>")
+    sig = similarity.srp_signature(df, dim=16).toPandas() \
+        .set_index("vec_id")["srp"]
+    assert bin(int(sig[0]) ^ int(sig[1])).count("1") <= 1   # scaled copy
+    assert bin(int(sig[0]) ^ int(sig[2])).count("1") == 16  # negation
+
+
+def test_trained_centroids_recall_at_least_standin(spark, emb):
+    """kmeans_centroids wired into ivf_topk (r2 verdict item #6): trained
+    cells must not lose recall vs the lowest-vec_id stand-in on the
+    clustered fixture set."""
+    from terraspark.datapipe.clustering import kmeans_centroids
+    qids = [0, 1, 2, 3, 4]
+    truth = similarity.cosine_topk(emb, qids, k=5).toPandas()
+    truth_set = set(map(tuple, truth[["query_id", "neighbor_id"]].values))
+
+    def recall(df):
+        got = set(map(tuple, df.toPandas()[["query_id", "neighbor_id"]].values))
+        return len(got & truth_set) / len(truth_set)
+
+    standin = recall(similarity.ivf_topk(emb, qids, k=5, n_centroids=8))
+    cent = kmeans_centroids(emb, k=8, iters=2)
+    trained = recall(similarity.ivf_topk(emb, qids, k=5,
+                                         centroids=F.broadcast(cent)))
+    assert trained >= standin
+    assert trained >= 0.5
