@@ -38,17 +38,21 @@ def probe(cores: int) -> dict:
             ts.append(time.time() - t0)
         out[name] = round(min(ts), 2)
 
-    tiles = eng.tiles(images, scenes)
-    best("decode_tile", lambda: tiles.count())
+    kernels_only = os.environ.get("PROBE_KERNELS_ONLY") == "1"
 
-    feats_fresh = lambda: eng.dem_features(dem, persist=False).count()
-    best("dem_features", feats_fresh)
+    tiles = eng.tiles(images, scenes)
+    if not kernels_only:
+        best("decode_tile", lambda: tiles.count())
+
+        feats_fresh = lambda: eng.dem_features(dem, persist=False).count()
+        best("dem_features", feats_fresh)
 
     joined = eng.joined(images, scenes, dem)
     joined.count()          # materialize persist once (excluded)
     # never-collect scalar path -- the engine default and what bench.py
     # times (r1 verdict: one protocol everywhere)
-    best("scalar_stats", lambda: eng.scalars_df(joined).count())
+    if not kernels_only:
+        best("scalar_stats", lambda: eng.scalars_df(joined).count())
     sc = eng.scalars_df(joined).persist()
     sc.count()
 

@@ -167,12 +167,20 @@ def _correct_batches(batches: Iterator[pd.DataFrame], methods: Sequence[str],
         # indexing copies the fat float32 arrays, so doing it per method
         # would move every byte 11x (the kernel stage is memory-bandwidth
         # -bound well before it is compute-bound -- see
-        # scripts/bandwidth_probe.py)
+        # scripts/bandwidth_probe.py).  When the incoming batch is SORTED
+        # by (image_id, band) -- apply_corrections sorts within partitions
+        # for exactly this reason -- each group is a contiguous row range
+        # and the slice is a zero-copy VIEW, removing even the one
+        # remaining per-group copy of the three fat arrays.
         prepped = []
         for (iid, band), idx in groups.items():
             sc = {f: float(pdf[f].iloc[idx[0]]) for f in SCALAR_FIELDS}
-            dng = dn[idx]
-            prepped.append((iid, int(band), idx, dng, lum[idx], slope[idx],
+            if idx[-1] - idx[0] + 1 == len(idx):     # contiguous -> views
+                rows = slice(idx[0], idx[-1] + 1)
+            else:                                    # unsorted fallback
+                rows = idx
+            dng = dn[rows]
+            prepped.append((iid, int(band), idx, dng, lum[rows], slope[rows],
                             sc, np.isnan(dng)))
         for method in methods:
             px_out = np.empty(len(pdf), dtype=object)
@@ -210,7 +218,18 @@ def apply_corrections(joined: DataFrame, scalars,
                 f"{f} double" for f in SCALAR_FIELDS)))
     else:
         sc_df = F.broadcast(scalars) if broadcast_scalars else scalars
+    # sortWithinPartitions groups each (image, band)'s tiles contiguously
+    # inside every Arrow batch, so the Python side slices zero-copy VIEWS
+    # instead of fancy-index copies of the three fat pixel arrays (see
+    # _correct_batches) -- a narrow in-partition key sort, no exchange.
+    # Numerically inert: kernels are per-tile and scalars are precomputed,
+    # so row order cannot change any output value (unlike the stats stage,
+    # which is deliberately left unsorted).  Env kill-switch for A/B
+    # probing only.
+    import os
     enriched = joined.join(sc_df, ["image_id", "band"], "inner")
+    if os.environ.get("TERRASPARK_SORT_KERNELS", "1") != "0":
+        enriched = enriched.sortWithinPartitions("image_id", "band")
     return enriched.mapInPandas(
         lambda it: _correct_batches(it, list(methods), tile, params),
         schema=CORRECTED_SCHEMA)
