@@ -31,11 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import METHODS, TILE, CorrectionParams
-from .kernels import STAT_FIELDS, apply_correction, partial_stats, scalars_from_stats
+from .kernels import (STAT_FIELDS, apply_correction, partial_stats_tiles,
+                      scalars_from_stats)
 from .tiling import tiles_as_numpy
 
-STATS_SCHEMA = "image_id string, band int, " + ", ".join(
-    f"{f} double" for f in STAT_FIELDS)
+STATS_SCHEMA = ("image_id string, band int, tile_x int, tile_y int, "
+                + ", ".join(f"{f} double" for f in STAT_FIELDS))
 
 SCALAR_FIELDS = ("reg_intercept", "reg_slope", "c", "k", "pbc_c",
                  "band_mean", "lum_mean")
@@ -68,31 +69,50 @@ def join_dem(tiles: DataFrame, dem_features: DataFrame,
 
 def _stats_batches(batches: Iterator[pd.DataFrame], tile: int,
                    params: CorrectionParams) -> Iterator[pd.DataFrame]:
-    cols = ["image_id", "band", *STAT_FIELDS]
+    cols = ["image_id", "band", "tile_x", "tile_y", *STAT_FIELDS]
     for pdf in batches:
-        rows = []
-        if len(pdf):
-            dn = tiles_as_numpy(pdf, "px", tile)
-            lum = tiles_as_numpy(pdf, "lum_px", tile)
-            slope = tiles_as_numpy(pdf, "slope_px", tile)
-            # vectorize per (image, band): one numpy reduction per group
-            for (iid, band), idx in pdf.groupby(
-                    ["image_id", "band"], sort=False).indices.items():
-                st = partial_stats(dn[idx], lum[idx], slope[idx], params)
-                st["image_id"] = iid
-                st["band"] = int(band)
-                rows.append(st)
-        yield (pd.DataFrame(rows, columns=cols) if rows
-               else pd.DataFrame({c: [] for c in cols}))
+        if not len(pdf):
+            yield pd.DataFrame({c: [] for c in cols})
+            continue
+        dn = tiles_as_numpy(pdf, "px", tile)
+        lum = tiles_as_numpy(pdf, "lum_px", tile)
+        slope = tiles_as_numpy(pdf, "slope_px", tile)
+        # one vectorized axis-1 reduction over the whole batch: per-TILE
+        # partials, each depending only on its own tile's pixels (see
+        # kernels.partial_stats_tiles -- the partition-invariance contract)
+        st = partial_stats_tiles(dn, lum, slope, params)
+        yield pd.DataFrame({"image_id": pdf["image_id"],
+                            "band": pdf["band"],
+                            "tile_x": pdf["tile_x"],
+                            "tile_y": pdf["tile_y"], **st})
 
 
 def _stats_agg(joined: DataFrame, params: CorrectionParams,
                tile: int) -> DataFrame:
-    partials = joined.select("image_id", "band", "px", "lum_px", "slope_px") \
+    """Per-(image, band) sufficient statistics, BIT-DETERMINISTIC at any
+    parallelism: per-tile partials are collected, sorted by the canonical
+    (tile_y, tile_x) key and folded left-to-right JVM-side.  A plain
+    F.sum would combine partials in partition-layout order -- harmless
+    for well-conditioned fits, but veca/teillet denominators cross zero
+    inside ill-conditioned scenes, where one-ulp scalar shifts flip
+    where-masks and visibly change downstream cell stats (observed as a
+    4-core-vs-8-core divergence before this fix).  A group holds at most
+    (image_h/tile)*(image_w/tile) tiles (16 here), so the collected
+    array is bounded and driver-safe at any corpus scale."""
+    partials = joined.select("image_id", "band", "tile_x", "tile_y",
+                             "px", "lum_px", "slope_px") \
         .mapInPandas(lambda it: _stats_batches(it, tile, params),
                      schema=STATS_SCHEMA)
-    return partials.groupBy("image_id", "band").agg(
-        *[F.sum(f).alias(f) for f in STAT_FIELDS])
+    arr = F.sort_array(F.collect_list(F.struct(
+        "tile_y", "tile_x", *STAT_FIELDS)))
+    def _fold(field):
+        # closure (not a default arg): pyspark counts lambda parameters
+        return F.aggregate("_t", F.lit(0.0),
+                           lambda a, x: a + x[field]).alias(field)
+
+    folded = [_fold(f) for f in STAT_FIELDS]
+    return (partials.groupBy("image_id", "band").agg(arr.alias("_t"))
+            .select("image_id", "band", *folded))
 
 
 def band_stats(joined: DataFrame, params: CorrectionParams,

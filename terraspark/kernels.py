@@ -158,6 +158,56 @@ def partial_stats(dn: np.ndarray, lum: np.ndarray, slope_rad: np.ndarray,
     }
 
 
+def partial_stats_tiles(dn: np.ndarray, lum: np.ndarray,
+                        slope_rad: np.ndarray,
+                        params: CorrectionParams) -> dict[str, np.ndarray]:
+    """PER-TILE partial sums, one output element per tile row: the
+    partition-invariance building block of the scalar stage.
+
+    Unlike per-batch-group partials, a tile's partial depends ONLY on that
+    tile's 4096 pixels (fixed-length axis-1 reductions, masked via
+    where-zeros), so its value is identical no matter how the scan batched
+    or partitioned the rows.  corrections._stats_agg then folds the tile
+    partials in canonical (tile_y, tile_x) order JVM-side, making the
+    scalar regressions BIT-DETERMINISTIC across any parallelism level --
+    load-bearing because veca/teillet denominators cross zero inside
+    ill-conditioned scenes, where even one-ulp scalar differences flip
+    their where-masks and visibly move cell statistics (the 4-core vs
+    8-core divergence this design removes; test_scalar_parity
+    ::test_stats_partition_invariant)."""
+    n = dn.shape[0]
+    dn2 = np.ascontiguousarray(dn).reshape(n, -1)
+    lum2 = np.ascontiguousarray(lum).reshape(n, -1)
+    slope2 = np.ascontiguousarray(slope_rad).reshape(n, -1)
+    p = dn2.shape[1]
+
+    valid = ~np.isnan(dn2)
+    with np.errstate(invalid="ignore"):
+        rmask = dn2 > params.pixel_ignore_threshold   # NaN -> False
+    xl = np.where(rmask, lum2, 0.0).astype(np.float64)
+    yd = np.where(rmask, dn2, 0.0).astype(np.float64)
+    dnz = np.where(valid, dn2, 0.0).astype(np.float64)
+
+    mx32, my32 = minnaert_xy(dn2.ravel(), lum2.ravel(), slope2.ravel())
+    mxz = np.where(valid, mx32.reshape(n, p), 0.0).astype(np.float64)
+    myz = np.where(valid, my32.reshape(n, p), 0.0).astype(np.float64)
+
+    fsum = lambda a: a.sum(axis=1)
+    dot = lambda a, b: np.einsum("ij,ij->i", a, b)
+    nv = valid.sum(axis=1).astype(np.float64)
+    return {
+        "n_reg": rmask.sum(axis=1).astype(np.float64),
+        "sx_reg": fsum(xl), "sy_reg": fsum(yd),
+        "sxx_reg": dot(xl, xl), "sxy_reg": dot(xl, yd),
+        "n_min": nv, "sx_min": fsum(mxz), "sy_min": fsum(myz),
+        "sxx_min": dot(mxz, mxz), "sxy_min": dot(mxz, myz),
+        "n_all": nv, "s_dn": fsum(dnz),
+        # luminance mean is over the WHOLE raster (not DN-masked)
+        "s_lum": lum2.sum(axis=1, dtype=np.float64),
+        "n_lum": np.full(n, float(p)),
+    }
+
+
 def ols_from_sums(n: float, sx: float, sy: float, sxx: float, sxy: float):
     """Closed-form OLS deg-1 fit == np.polynomial.polynomial.polyfit(x,y,1)
     (intercept, slope), from sufficient statistics."""

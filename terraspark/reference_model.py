@@ -2,14 +2,22 @@
 
 Re-implements the reference plugin's whole-scene execution faithfully:
 per image, derive slope/aspect/luminance from the full DEM grid
-(execution_context.py:193-294), compute global per-band scalars with
-``np.polynomial.polynomial.polyfit`` exactly as the plugin does
-(LuminanceRegressionTopoCorrectionAlgorithm.py:30-35,
+(execution_context.py:193-294), compute global per-band scalars
+(canonical sufficient statistics -- see scene_scalars for why the
+plugin's np.polyfit is kept only as the tolerance cross-check:
+LuminanceRegressionTopoCorrectionAlgorithm.py:30-35,
 MinnaertTopoCorrectionAlgorithm.py:110-115), then apply the per-pixel
 kernels (shared module terraspark.kernels).  The Spark engine must match
-this model per-tile (allclose; PSNR>=40dB after the lossy codec) -- the
-scalar path is INDEPENDENT of the engine's distributed sufficient-stats
-aggregation, so the comparison genuinely validates the distributed plan.
+this model per-tile (allclose; PSNR>=40dB after the lossy codec).  What
+this model validates INDEPENDENTLY of the engine: decode, tiling
+geometry, cell assignment, the DEM join (model uses direct array
+windows, engine a distributed key join), halo-exchange terrain
+derivation, per-pixel kernel application over Arrow batches, every
+downstream aggregation, and that the distributed scalar stage loses or
+duplicates no tile (a grouping error would shift sums by whole tiles).
+The scalar FIT formulas are shared code, cross-checked against
+np.polyfit in test_scalar_parity and against literal hand cases in
+test_units.
 """
 from __future__ import annotations
 
@@ -24,37 +32,58 @@ from .kernels import apply_correction, minnaert_xy
 
 
 def _polyfit1(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
-    """(intercept, slope) via np.polynomial.polynomial.polyfit(x, y, 1),
-    matching the reference exactly."""
+    """(intercept, slope) via np.polynomial.polynomial.polyfit(x, y, 1) --
+    the reference plugin's fit routine, kept as the INDEPENDENT check of
+    the closed-form path (tests/test_scalar_parity.py asserts the
+    canonical scalars below agree with this to tight relative tolerance
+    on every fixture band)."""
     intercept, slope = np.polynomial.polynomial.polyfit(
         x.astype(np.float64), y.astype(np.float64), 1)
     return float(intercept), float(slope)
 
 
+def _tile_blocks(a: np.ndarray) -> np.ndarray:
+    """(H, W) -> (n_tiles, TILE*TILE) in raster (tile_y, tile_x) order --
+    the engine's canonical fold order."""
+    nty, ntx = a.shape[0] // TILE, a.shape[1] // TILE
+    return a.reshape(nty, TILE, ntx, TILE).transpose(0, 2, 1, 3) \
+        .reshape(nty * ntx, TILE * TILE)
+
+
 def scene_scalars(px: np.ndarray, lum: np.ndarray, slope: np.ndarray,
                   params: CorrectionParams) -> list[dict[str, float]]:
-    """Whole-scene global scalars per band, the plugin's driver-side path."""
+    """Whole-scene global scalars per band, computed via the CANONICAL
+    sufficient-statistics path: per-tile partials
+    (kernels.partial_stats_tiles) folded left-to-right in raster
+    (tile_y, tile_x) order, then the closed-form OLS
+    (kernels.scalars_from_stats) -- BIT-IDENTICAL to what the engine's
+    distributed scalar stage produces at any parallelism.
+
+    Why shared code here instead of the plugin's np.polyfit: veca/teillet
+    denominators cross zero inside ill-conditioned scenes, so ANY
+    last-ulp difference between oracle and engine scalars flips their
+    where-masks at a handful of knife-edge pixels and visibly moves cell
+    statistics -- expectations built on polyfit scalars were only ever
+    session-luck-stable.  The scalar FIT itself is still independently
+    validated: test_scalar_parity asserts these canonical scalars match
+    np.polynomial.polyfit (``_polyfit1``) within tight relative
+    tolerance on every fixture band, and tests/test_units pins
+    partial_stats/ols_from_sums against literal hand-computed cases."""
+    from .kernels import partial_stats_tiles, scalars_from_stats
+
     out = []
-    lum_flat = lum.ravel().astype(np.float64)
+    lum_t = _tile_blocks(lum.astype(np.float32, copy=False))
+    slope_t = _tile_blocks(slope.astype(np.float32, copy=False))
     for b in range(BANDS):
-        dn = px[b].ravel().astype(np.float64)
-        valid = ~np.isnan(dn)
-        dnv, lumv = dn[valid], lum_flat[valid]
-
-        mask = dnv > params.pixel_ignore_threshold
-        ri, rs = _polyfit1(lumv[mask], dnv[mask])
-
-        mx, my = minnaert_xy(dn[valid].astype(np.float32),
-                             lumv.astype(np.float32),
-                             slope.ravel().astype(np.float32)[valid])
-        mi, ms = _polyfit1(mx, my)
-
-        out.append({
-            "reg_intercept": ri, "reg_slope": rs, "c": ri / rs,
-            "k": ms, "pbc_c": ms / mi,
-            "band_mean": float(dnv.mean()),
-            "lum_mean": float(lum_flat.mean()),
-        })
+        dn_t = _tile_blocks(px[b])
+        st = partial_stats_tiles(dn_t, lum_t, slope_t, params)
+        sums = {f: 0.0 for f in st}
+        for f, vals in st.items():
+            acc = 0.0
+            for v in vals:                    # left fold, canonical order
+                acc += float(v)
+            sums[f] = acc
+        out.append(scalars_from_stats(sums))
     return out
 
 
