@@ -184,16 +184,23 @@ def partial_stats_tiles(dn: np.ndarray, lum: np.ndarray,
     valid = ~np.isnan(dn2)
     with np.errstate(invalid="ignore"):
         rmask = dn2 > params.pixel_ignore_threshold   # NaN -> False
-    xl = np.where(rmask, lum2, 0.0).astype(np.float64)
-    yd = np.where(rmask, dn2, 0.0).astype(np.float64)
-    dnz = np.where(valid, dn2, 0.0).astype(np.float64)
+    z32 = np.float32(0.0)
+    # masked operands stay FLOAT32; every reduction below accumulates in
+    # float64 on the fly (sum dtype= / einsum dtype= use numpy's buffered
+    # iteration) -- no full float64 mirrors, half the memory traffic of
+    # the naive cast-then-reduce form.  float32 -> float64 element
+    # conversion is exact, and the reductions are shape-deterministic,
+    # which is all the canonical fold needs.
+    xl = np.where(rmask, lum2, z32)
+    yd = np.where(rmask, dn2, z32)
+    dnz = np.where(valid, dn2, z32)
 
     mx32, my32 = minnaert_xy(dn2.ravel(), lum2.ravel(), slope2.ravel())
-    mxz = np.where(valid, mx32.reshape(n, p), 0.0).astype(np.float64)
-    myz = np.where(valid, my32.reshape(n, p), 0.0).astype(np.float64)
+    mxz = np.where(valid, mx32.reshape(n, p), z32)
+    myz = np.where(valid, my32.reshape(n, p), z32)
 
-    fsum = lambda a: a.sum(axis=1)
-    dot = lambda a, b: np.einsum("ij,ij->i", a, b)
+    fsum = lambda a: a.sum(axis=1, dtype=np.float64)
+    dot = lambda a, b: np.einsum("ij,ij->i", a, b, dtype=np.float64)
     nv = valid.sum(axis=1).astype(np.float64)
     return {
         "n_reg": rmask.sum(axis=1).astype(np.float64),
