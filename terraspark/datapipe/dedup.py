@@ -143,3 +143,44 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
                     F.round(F.col("n_inter")
                             / (F.col("na") + F.col("nb") - F.col("n_inter")),
                             6).alias("jaccard")))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """SimHash near-duplicate JOIN: (doc_a < doc_b, hamming) pairs whose
+    16-bit signatures differ in at most ``max_hamming`` bits.
+
+    Scale path: the signature is split into ``max_hamming + 1`` bit
+    bands; by pigeonhole, any pair within the hamming budget agrees
+    EXACTLY on at least one band, so candidates come from equi-joins on
+    (band, band_value) -- never an O(n^2) comparison -- and the exact
+    xor-popcount filter then keeps true pairs only.  The SQL oracle runs
+    the direct quadratic definition instead, so the banding logic itself
+    is cross-checked (dp_simhash_pairs).
+
+    Scale caveat: a 16-bit signature space saturates around 10^3-10^4
+    documents (band values collide by birthday effect and candidate
+    counts grow quadratically again); 16 bits is chosen here for exact
+    ANSI-SQL oracle portability -- at corpus scale widen the signature
+    (64/128-bit, more bands), which changes only the constants in this
+    function."""
+    n_bands = max_hamming + 1
+    width = 16 // n_bands + (1 if 16 % n_bands else 0)
+    sig = simhash16(docs)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", i * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+            for i in range(n_bands)])).alias("b")) \
+        .select("doc_id", "simhash", "b.band", "b.val")
+    a = bands.select("band", "val", F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sig_a"))
+    b = bands.select("band", "val", F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sig_b"))
+    cand = (a.join(b, ["band", "val"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

@@ -1,0 +1,92 @@
+"""Streaming training-data operators: stateful exact-dedup over a
+document stream (``applyInPandasWithState``).
+
+At ingest time a 10^12-document corpus arrives continuously; re-running
+batch dedup over the whole corpus per drop is O(corpus).  This operator
+keeps the seen-fingerprint set as SPARK STREAMING STATE keyed by
+fingerprint: each micro-batch only touches the fingerprints it contains,
+and the checkpoint makes the state crash-durable -- the canonical
+``applyInPandasWithState`` shape for custom stateful logic that the
+built-in streaming aggregations can't express (we need a per-key
+first-wins verdict emitted per ROW, not an aggregate).
+
+Determinism contract (what the oracle relies on): when drops are
+monotone in ``doc_id`` (drop N's ids all precede drop N+1's), a
+document is ``is_first`` iff its doc_id is the global minimum of its
+fingerprint group -- within a batch the min doc_id of an unseen
+fingerprint wins, across batches the state wins.  This is exactly
+``doc_id = MIN(doc_id) OVER (PARTITION BY fp)`` in SQL, which is the
+dp_stream_dedup oracle.
+
+Scale notes: state is one row (fp, min_id) per distinct fingerprint --
+at corpus scale back the state store with RocksDB
+(``spark.sql.streaming.stateStore.providerClass``) and drop fingerprint
+prefixes into separate queries if a single store's keyspace becomes the
+bottleneck; the per-batch work stays proportional to the batch.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DOCS_DDL = "doc_id long, text string"
+OUT_SCHEMA = "doc_id long, fp string, is_first boolean"
+STATE_SCHEMA = "seen_min long"
+
+
+def _fp_col():
+    """Fingerprint expression -- IDENTICAL to textstats.fingerprint (md5
+    of whitespace-normalized lowercased text)."""
+    return F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+def _dedup_fn(key, pdfs, state: GroupState):
+    """Per-fingerprint group handler: first-ever doc (min doc_id of the
+    first batch that carries this fp) is is_first; everything later --
+    same batch or any later batch -- is a duplicate."""
+    seen_min = state.get[0] if state.exists else None
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(i) for i in pdf["doc_id"])
+    if not ids:
+        return
+    bmin = min(ids)
+    yield pd.DataFrame({
+        "doc_id": ids,
+        "fp": [key[0]] * len(ids),
+        "is_first": [seen_min is None and i == bmin for i in ids],
+    })
+    state.update((bmin if seen_min is None else min(seen_min, bmin),))
+
+
+def stream_exact_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
+                       checkpoint_dir: str) -> None:
+    """Drain all unseen document files (availableNow) and append each
+    row's dedup verdict to ``out_dir``; re-invoking after new files land
+    processes only the delta, with the seen-fingerprint state carried in
+    the checkpoint."""
+    stream = (spark.readStream.schema(DOCS_DDL).parquet(docs_dir)
+              .withColumn("fp", _fp_col()))
+    verdicts = stream.groupBy("fp").applyInPandasWithState(
+        _dedup_fn, OUT_SCHEMA, STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+    q = (verdicts.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def batch_first_wins(docs: DataFrame) -> DataFrame:
+    """Batch reference for the streaming verdicts: is_first iff doc_id is
+    the minimum of its fingerprint group (the oracle's window rule)."""
+    from pyspark.sql import Window
+    f = docs.select("doc_id", _fp_col().alias("fp"))
+    w = Window.partitionBy("fp")
+    return f.select("doc_id", "fp",
+                    (F.col("doc_id") == F.min("doc_id").over(w))
+                    .alias("is_first"))

@@ -106,3 +106,29 @@ def test_neardup_sub_blocking_is_transparent(spark):
         .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     assert len(direct) > 3000        # the big cell really is quadratic
     pd.testing.assert_frame_equal(direct, blocked)
+
+
+def test_simhash_pairs_banding_equals_direct(spark):
+    """Pigeonhole banding must reproduce the direct quadratic hamming
+    join exactly, including in-corpus near-collisions and exact dups."""
+    docs = [{"doc_id": i, "text": f"alpha beta gamma delta {i} {i*7%5}"}
+            for i in range(40)]
+    docs += [{"doc_id": 100 + i, "text": docs[i]["text"]} for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(docs),
+                               "doc_id long, text string")
+    got = dedup.simhash_pairs(df, max_hamming=1).toPandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    sig = dedup.simhash16(df).toPandas().set_index("doc_id")["simhash"]
+    exp = []
+    ids = sorted(sig.index)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(int(sig[a]) ^ int(sig[b])).count("1")
+            if h <= 1:
+                exp.append({"doc_a": a, "doc_b": b, "hamming": h})
+    exp = pd.DataFrame(exp, columns=["doc_a", "doc_b", "hamming"]) \
+        .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # the 5 planted exact copies are all hamming-0 pairs
+    assert (got[got["doc_b"] >= 100]["hamming"] == 0).sum() >= 5

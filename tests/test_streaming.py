@@ -152,3 +152,38 @@ def test_stream_regression_method_parity(spark, stream_env, tmp_path):
     eng.unpersist()
     a, b = _summaries(spark, out), _summaries(spark, batch_out)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stream_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: state carries seen fingerprints
+    across checkpointed availableNow runs -- duplicates landing in a
+    LATER drop are flagged, and the verdicts equal the batch first-wins
+    window rule."""
+    from terraspark.datapipe import streamops
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [f"unique document {i}" for i in range(4)]
+        + ["dup  text a", "dup text a",        # same after normalization
+           "another", "another"],
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    docs.iloc[:5].to_parquet(src / "drop-0.parquet", index=False)
+    streamops.stream_exact_dedup(spark, str(src), out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 5
+    # drop 2: one cross-drop dup (of doc 4) + the in-batch dup pair (6, 7)
+    docs.iloc[5:].to_parquet(src / "drop-1.parquet", index=False)
+    streamops.stream_exact_dedup(spark, str(src), out, ckpt)
+    got = spark.read.parquet(out).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 8                      # resume processed only the delta
+    exp = streamops.batch_first_wins(
+        spark.createDataFrame(docs)).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # the interesting rows: 5 is a cross-batch dup, 7 an in-batch dup
+    verdicts = got.set_index("doc_id")["is_first"]
+    assert not verdicts[5] and not verdicts[7] and verdicts[6]
