@@ -37,6 +37,8 @@ DEFAULT_MAX_CELL = 10_000  # near-dup pair-generation cell cap
 SUB_BLOCK = 1_024          # cells above this size pair via hash sub-blocks
 SRP_BITS = 16              # signed-random-projection signature width
 SRP_SEED = 20240817        # hyperplane RNG seed (shared with the oracle)
+SRP_BANDS = 2              # near-dup banding of the SRP signature
+DEFAULT_MAX_SRP_BUCKET = 5_000  # SRP band-bucket pair-generation cap
 
 
 def _dot(a, b):
@@ -83,6 +85,75 @@ def srp_signature(embeddings: DataFrame, dim: int,
         bit = F.when(dot > 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return e.select("vec_id", sig.cast("long").alias("srp"))
+
+
+def srp_band_rows(sig: DataFrame, bands: int = SRP_BANDS,
+                  bits: int = SRP_BITS) -> DataFrame:
+    """Split each SRP signature into ``bands`` contiguous bit-bands:
+    (vec_id, band, bkey) rows, ``bands`` per vector.  Two signatures whose
+    angular distance is small agree on ALL bits of at least one band with
+    high probability (classic LSH banding, here over Charikar bits)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    entries = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.shiftright(F.col("srp"), bits - width * (b + 1))
+            .bitwiseAND(F.lit(mask)).cast("int").alias("bkey"))
+        for b in range(bands)]
+    return (sig.select("vec_id", F.explode(F.array(*entries)).alias("e"))
+            .select("vec_id", F.col("e.band").alias("band"),
+                    F.col("e.bkey").alias("bkey")))
+
+
+def srp_bucket_audit(band_rows: DataFrame, max_bucket: int) -> DataFrame:
+    """Band-buckets exceeding the pair-generation cap (to log/alert on)."""
+    return (band_rows.groupBy("band", "bkey")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket))
+
+
+def srp_neardup_pairs(embeddings: DataFrame, dim: int,
+                      threshold: float = 0.8, bands: int = SRP_BANDS,
+                      bits: int = SRP_BITS,
+                      max_bucket: int = DEFAULT_MAX_SRP_BUCKET) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP (cosine-LSH) banding
+    -- the third blocking strategy next to MinHash-LSH (text) and
+    IVF-cell blocking (:func:`neardup_pairs`): candidates are pairs that
+    agree on at least one signature band, verified with the exact double
+    cosine and filtered at ``threshold``.  Returns (vec_a < vec_b, cos).
+
+    Scale shape: the signature is a shuffle-free map stage; candidate
+    generation is a self-equi-join on (band, bkey) -- only bucket-local
+    pairs are ever materialized.  Buckets above ``max_bucket`` are
+    EXCLUDED (skew guard, mirrored in the SQL oracle; audit the drops
+    with :func:`srp_bucket_audit`).  At real corpus scale the default
+    16-bit/2-band signature saturates (only 2^8 buckets per band):
+    raise ``bits``/``bands`` together (e.g. 64-bit, 4 x 16-bit bands,
+    2^16 buckets) -- the recall/precision trade is the standard LSH
+    banding calculus, all parameterized here."""
+    sig = srp_signature(embeddings, dim, bits)
+    rows = srp_band_rows(sig, bands, bits)
+    # bucket-key space is <= bands * 2^(bits/bands): tiny by construction,
+    # so the cap filter always broadcasts
+    ok = (rows.groupBy("band", "bkey").agg(F.count("*").alias("_n"))
+          .where(F.col("_n") <= max_bucket).select("band", "bkey"))
+    capped = rows.join(F.broadcast(ok), ["band", "bkey"])
+    cand = (capped.select("band", "bkey", F.col("vec_id").alias("vec_a"))
+            .join(capped.select("band", "bkey",
+                                F.col("vec_id").alias("vec_b")),
+                  ["band", "bkey"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    e = with_double_vec(embeddings)
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    cos = (_dot(F.col("va"), F.col("vb"))
+           / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
 
 
 def _topk_per_query(scored: DataFrame, k: int,
