@@ -53,15 +53,26 @@ class TopoEngine:
         tiles = self.tiles(images, scenes)
         feats = self._features or self.dem_features(dem_df)
         j = corrections.join_dem(tiles, feats, self.broadcast_dem)
-        # Explicit repartition before the (reused) persist: the broadcast
-        # join preserves the scan's few fat partitions; the downstream
-        # scalar-stats and kernel stages want uniform, core-saturating
-        # partitions.  Keyed by tile identity -- spreads FIXTURES.md's hot
-        # cells (8 images stacked on one anchor cell) across tasks, the
-        # explicit skew handling the north rule asks for.
-        j = j.repartition(
-            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
-            "image_id", "band", "tile_x", "tile_y")
+        # Conditional repartition before the (reused) persist, same guard
+        # as tiling.tile_images: a many-split production scan already
+        # spreads tiles uniformly (row counts per split are fixed by the
+        # images it decodes -- hot CELLS stack images on one key but never
+        # skew per-split row counts, and the broadcast DEM join preserves
+        # the scan partitioning), so repartitioning there would shuffle
+        # the FAT joined rows (px + lum + slope ~48 KB each; ~1.6 GB at
+        # 512 images, the single largest avoidable data movement in the
+        # pipeline).  Downstream stages don't need the exchange either:
+        # scalar stats fold partials in canonical order (partition-
+        # invariant by construction) and the kernel stage groups with a
+        # narrow in-partition sort.  Only shuffle when the scan is too
+        # narrow to keep the cores busy (tiny local inputs), keyed by tile
+        # identity to spread FIXTURES.md's hot anchor cell across tasks.
+        target = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        cores = self.spark.sparkContext.defaultParallelism
+        if (not images.isStreaming
+                and images.rdd.getNumPartitions() < min(cores, target)):
+            j = j.repartition(target,
+                              "image_id", "band", "tile_x", "tile_y")
         if persist:
             j = j.persist(StorageLevel.MEMORY_AND_DISK)
         self._joined = j
