@@ -129,3 +129,40 @@ def test_metrics_approx_percentile_close_to_exact(spark, fixture_tables):
     e = np.array(exact.sort_values("g")["q"].tolist())
     a = np.array(approx.sort_values("g")["q"].tolist())
     assert np.all(np.abs(a - e) / e < 0.02)
+
+
+def test_joined_repartition_only_when_scan_narrow(spark, fixture_tables):
+    """The joined-tiles exchange is conditional (pipeline.TopoEngine
+    .joined): a scan already wide enough to saturate the cores must NOT
+    shuffle the fat joined rows (px + lum + slope, ~48 KB each -- ~1.6 GB
+    at 512 images), while a narrow local input still gets the spreading
+    repartition.  Guards the late-r3 data-movement win against
+    regression."""
+    from terraspark.fixtures import (DEM_SCHEMA, IMAGES_SCHEMA,
+                                     SCENES_SCHEMA, to_spark)
+    from terraspark.pipeline import TopoEngine
+
+    images, scenes, dem, aoi, grids, oracle = fixture_tables
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # WIDE input: as many partitions as the shuffle target -> no
+    # repartition exchange downstream of the tile map stage
+    wide = to_spark(spark, images, IMAGES_SCHEMA).repartition(target)
+    eng_w = TopoEngine(spark)
+    j_w = eng_w.joined(wide, to_spark(spark, scenes, SCENES_SCHEMA),
+                       to_spark(spark, dem, DEM_SCHEMA), persist=False)
+    plan_w = j_w._jdf.queryExecution().executedPlan().toString()
+    # the wide path must not hash-shuffle the fat joined rows on tile
+    # identity (the input-widening round-robin from this test's own
+    # .repartition(target) is upstream of the decode and fine)
+    assert "hashpartitioning(image_id" not in plan_w
+
+    # NARROW input: one partition -> the spreading repartition must appear
+    narrow = to_spark(spark, images, IMAGES_SCHEMA).coalesce(1)
+    eng_n = TopoEngine(spark)
+    j_n = eng_n.joined(narrow, to_spark(spark, scenes, SCENES_SCHEMA),
+                       to_spark(spark, dem, DEM_SCHEMA), persist=False)
+    plan_n = j_n._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(image_id" in plan_n
+    for eng in (eng_w, eng_n):
+        eng.unpersist()
