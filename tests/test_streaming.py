@@ -187,3 +187,62 @@ def test_stream_exact_dedup_stateful(spark, tmp_path):
     # the interesting rows: 5 is a cross-batch dup, 7 an in-batch dup
     verdicts = got.set_index("doc_id")["is_first"]
     assert not verdicts[5] and not verdicts[7] and verdicts[6]
+
+
+def test_stream_windowed_counts_watermark(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: two time-ordered drops +
+    sentinel flush must emit every real window exactly once, and a
+    planted too-late event must be DROPPED (its window was finalized
+    before it arrived)."""
+    from terraspark.datapipe import streamops
+
+    def ev(eid, ts, typ, val):
+        return {"event_id": eid, "ts": pd.Timestamp(ts), "user_id": 1,
+                "event_type": typ, "value": float(val)}
+
+    drop0 = pd.DataFrame([
+        ev(1, "2024-01-01 01:00", "a", 10),
+        ev(2, "2024-01-01 02:00", "a", 5),
+        ev(3, "2024-01-02 03:00", "b", 7),
+        ev(4, "2024-01-05 12:00", "a", 1),   # advances the watermark
+    ])
+    late = ev(9, "2024-01-01 06:00", "a", 1000)   # window long finalized
+    drop1 = pd.DataFrame([
+        ev(5, "2024-01-06 01:00", "b", 2),
+        late,
+    ])
+
+    def write(df, name):
+        df.assign(ts=df["ts"].astype("datetime64[us]")).to_parquet(
+            str(tmp_path / "in" / name), index=False)
+
+    (tmp_path / "in").mkdir()
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), \
+        str(tmp_path / "ckpt")
+    write(drop0, "d0.parquet")
+    streamops.stream_windowed_counts(spark, src, out, ckpt)
+    write(drop1, "d1.parquet")
+    streamops.stream_windowed_counts(spark, src, out, ckpt)
+    write(pd.DataFrame([ev(90, "2024-02-01", "__s__", 0)]), "d2.parquet")
+    write(pd.DataFrame([ev(91, "2024-03-01", "__s__", 0)]), "d3.parquet")
+    streamops.stream_windowed_counts(spark, src, out, ckpt,
+                                     max_files_per_trigger=1)
+
+    got = (spark.read.parquet(out)
+           .where(F.col("event_type") != "__s__").toPandas()
+           .sort_values(["window_start", "event_type"])
+           .reset_index(drop=True))
+    day = 86400
+    base = int(pd.Timestamp("2024-01-01").timestamp())
+    want = pd.DataFrame({
+        "window_start": [base, base + day, base + 4 * day, base + 5 * day],
+        "event_type": ["a", "b", "a", "b"],
+        "n": [2, 1, 1, 1],
+        "sum_value": [15.0, 7.0, 1.0, 2.0],
+    })
+    assert got["window_start"].tolist() == want["window_start"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()        # late row absent
+    assert got["sum_value"].tolist() == want["sum_value"].tolist()
+    # exactly-once: no (window, type) appears twice
+    assert not got.duplicated(["window_start", "event_type"]).any()
