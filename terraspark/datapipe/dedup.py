@@ -105,6 +105,45 @@ def candidate_pairs(buckets: DataFrame,
             .select("doc_a", "doc_b").distinct())
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Resolve verified near-dup pairs into clusters and pick one canonical
+    document per cluster -- the final step of a real dedup pipeline (LSH
+    candidates -> similarity verify -> THIS -> drop non-canonical docs).
+
+    ``pairs`` is any verified (doc_a, doc_b) pair frame (doc_a < doc_b).
+    Near-duplication is not transitive, so pairs are resolved into
+    connected components: reuses the distributed min-label + pointer-
+    jumping CC from :func:`terraspark.vectorize.connected_components`
+    (O(log n) rounds, localCheckpoint per round, label table is two
+    int64 columns per clustered doc -- document text never enters the
+    loop).  Returns one row per doc appearing in >=1 pair:
+
+        (doc_id, cluster, n_members, keep)
+
+    cluster = MIN doc_id of the component (deterministic, SQL-portable);
+    keep = True exactly for that minimum member, so ``where(~keep)`` is
+    the corpus's drop list.  Singleton docs never enter pairs and are
+    implicitly kept -- the output stays proportional to the DUPLICATED
+    subset, not the corpus.
+    """
+    from terraspark.vectorize import connected_components
+    nodes = (pairs.select(F.col("doc_a").alias("cell"))
+             .unionByName(pairs.select(F.col("doc_b").alias("cell")))
+             .distinct())
+    half = pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"),
+                    F.col("src").alias("dst"))).distinct()
+    labels = connected_components(nodes, edges, max_iter)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (labels.join(sizes, "label")
+            .select(F.col("cell").alias("doc_id"),
+                    F.col("label").alias("cluster"),
+                    F.col("n_members").cast("long").alias("n_members"),
+                    (F.col("cell") == F.col("label")).alias("keep")))
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over unigram tokens (bag semantics).
 

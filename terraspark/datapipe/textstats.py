@@ -76,6 +76,31 @@ def lang_id(docs: DataFrame) -> DataFrame:
                          best.lang.alias("pred_lang"))
 
 
+def repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals over word bigrams:
+
+        (doc_id, n_bigrams, top_bigram_frac, distinct_bigram_ratio)
+
+    top_bigram_frac = occurrences of the most frequent bigram / total
+    bigrams; distinct_bigram_ratio = distinct / total.  High top-fraction
+    or low distinct-ratio flags boilerplate / degenerate generations for
+    corpus filtering.  Bigram generation is a JVM higher-order function
+    (transform over sequence) -> explode -> two-level groupBy with
+    map-side combine; no Python, no quadratic step, scales linearly in
+    corpus bytes."""
+    w = F.split(F.col("text"), " ")
+    grams = F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
+        F.expr("transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+               " i -> concat(element_at(split(text, ' '), i), ' ',"
+               " element_at(split(text, ' '), i + 1)))"))
+    per = (docs.select("doc_id", F.explode(grams).alias("bg"))
+           .groupBy("doc_id", "bg").agg(F.count("*").alias("c")))
+    return (per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_bigram_ratio")))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (deterministic, dialect-portable)."""

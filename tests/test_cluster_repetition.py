@@ -1,0 +1,86 @@
+"""dedup_clusters (near-dup CC resolution) and textstats.repetition.
+
+dedup_clusters is cross-checked against an independent in-test BFS over
+the same pair set (the same independence pattern test_rollup_vectorize
+uses for the polygonize CC); repetition against closed-form counts.
+"""
+import pandas as pd
+from pyspark.sql import functions as F
+
+from terraspark.datapipe import dedup, textstats
+
+
+def _bfs_components(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label, seen = {}, set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, todo = [], [start]
+        while todo:
+            n = todo.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            comp.append(n)
+            todo.extend(adj[n])
+        root = min(comp)
+        for n in comp:
+            label[n] = root
+    return label
+
+
+def test_dedup_clusters_matches_bfs(spark):
+    # chain 1-2-3 (transitive, never directly paired 1-3), pair 10-11,
+    # star 20-{21,22,23}, isolated pair 30-31
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23),
+             (30, 31)]
+    pdf = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["doc_a", "doc_b"]),
+        "doc_a long, doc_b long")
+    got = dedup.dedup_clusters(pdf).toPandas().sort_values("doc_id")
+    want = _bfs_components(pairs)
+    assert dict(zip(got["doc_id"], got["cluster"])) == want
+    # keep = exactly the min member of each cluster
+    keeps = set(got.loc[got["keep"], "doc_id"])
+    assert keeps == {1, 10, 20, 30}
+    sizes = dict(zip(got["doc_id"], got["n_members"]))
+    assert sizes[3] == 3 and sizes[21] == 4 and sizes[30] == 2
+
+
+def test_dedup_clusters_drop_list_shrinks_corpus(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": ["a b c d", "a b c d", "a b c d",   # exact triplet
+                 "x y z w", "x y z w",              # exact pair
+                 "p q r s"],                        # singleton
+    }), "doc_id long, text string")
+    cand = dedup.candidate_pairs(dedup.lsh_buckets(
+        dedup.minhash_signature(docs)))
+    ver = dedup.jaccard_pairs(docs, cand) \
+        .where(F.col("jaccard") >= 0.95).select("doc_a", "doc_b")
+    out = dedup.dedup_clusters(ver).toPandas()
+    # singleton (doc 5) never appears; drop list = non-canonical members
+    assert set(out["doc_id"]) == {0, 1, 2, 3, 4}
+    assert set(out.loc[out["keep"], "doc_id"]) == {0, 3}
+    assert set(out.loc[~out["keep"], "doc_id"]) == {1, 2, 4}
+
+
+def test_repetition_closed_form(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b a",      # bigrams: ab,ba,ab,ba -> top 2/4
+                 "x y z",          # bigrams: xy,yz -> all distinct
+                 "solo"],          # < 2 tokens -> no bigrams, no row
+    }), "doc_id long, text string")
+    out = textstats.repetition(docs).toPandas().set_index("doc_id")
+    assert list(out.index) == [0, 1]
+    assert out.loc[0, "n_bigrams"] == 4
+    assert out.loc[0, "top_bigram_frac"] == 0.5
+    assert out.loc[0, "distinct_bigram_ratio"] == 0.5
+    assert out.loc[1, "n_bigrams"] == 2
+    assert out.loc[1, "top_bigram_frac"] == 0.5
+    assert out.loc[1, "distinct_bigram_ratio"] == 1.0
