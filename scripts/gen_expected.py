@@ -100,6 +100,26 @@ def main():
         })
     pd.DataFrame(rows).to_parquet(f"{OUT}/expected_images.parquet", index=False)
 
+    # lossy WRITE-path PSNR gate (north-rule >= 40 dB): the cosine_t
+    # corrected plane (continuous values -- never on the quantizer
+    # lattice, unlike a decode-again roundtrip which is degenerately
+    # exact) pushed through the lossy codec, per-band PSNR via the plain
+    # numpy path (codecs.psnr) -- independent of the engine's two-pass
+    # dataflow reproduction of the quantizer
+    prows = []
+    for _, r in images.iterrows():
+        if not codecs.is_lossy(r["fmt"]):
+            continue
+        corr = oracle._corrected[r["image_id"]]["cosine_t"]
+        dec2 = codecs.decode(codecs.encode(corr, r["fmt"]), r["fmt"],
+                             BANDS, IMG_H, IMG_W)
+        for b in range(BANDS):
+            p = codecs.psnr(corr[b], dec2[b])
+            prows.append({"image_id": r["image_id"], "band": b,
+                          "fmt": r["fmt"], "psnr": half_up(p, 3),
+                          "pass_gate": bool(p >= 40.0)})
+    pd.DataFrame(prows).to_parquet(f"{OUT}/expected_psnr.parquet", index=False)
+
     # DEM feature checksums per dem_id
     drows = []
     for k, (slope, aspect, lum) in sorted(oracle.feats.items()):

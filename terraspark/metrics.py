@@ -206,3 +206,106 @@ def rose_means(pixels_with_terrain: DataFrame, slope_step_deg: float = 30.0,
         "group_id", "method", "band")
         .agg(F.mean("value").alias("mean_value"),
              F.count("*").alias("n")))
+
+
+# ------------------------------------------------------------- PSNR audit
+_PSNR_MM_SCHEMA = "image_id string, band int, tmin float, tmax float"
+_PSNR_SSE_SCHEMA = ("image_id string, band int, tile_x int, tile_y int, "
+                    "sse double, n long")
+
+
+def lossy_psnr_audit(tiles: DataFrame, tile: int = TILE,
+                     threshold: float = 40.0) -> DataFrame:
+    """Distributed lossy-roundtrip PSNR gate per (image_id, band).
+
+    The north-rule invariant is decoded-pixel PSNR >= 40 dB for lossy
+    formats; this audits the lossy WRITE path without materializing any
+    bytes: it reproduces the stub codec's per-plane affine 8-bit
+    quantization (codecs._jpeg_encode/_jpeg_decode) as dataflow and
+    measures the second-generation error against the first decode.
+
+    Two passes, mirroring the codec's own two passes over the plane:
+
+      1. plane (lo, hi): per-tile float32 min/max partials (one Arrow
+         batch scan) -> exact Spark MIN/MAX -- min/max are
+         order-independent, so the distributed result is bit-equal to
+         numpy's plane-wide nanmin/nanmax;
+      2. broadcast (lo, hi) back to tiles; per-tile numpy pass applies
+         the IDENTICAL f32 quantize/dequantize arithmetic as the codec
+         (scale computed in f64 then narrowed to f32, exactly the
+         struct-pack '<f' narrowing) and emits SSE/count partials.
+
+    Partials are reduced in deterministic (tile_y, tile_x) order
+    (sort_array + aggregate, JVM-side) so the dB value is stable at any
+    parallelism.  psnr = 10*log10(peak^2/mse) with peak = hi - lo
+    (codecs.psnr semantics), rounded HALF_UP to 3 decimals to match the
+    committed numpy-model expectations.
+
+    Scale: pass 1 ships 2 floats per tile, pass 2 one (sse, n) pair per
+    tile; the pixel data is read twice but never shuffled.
+    """
+    from typing import Iterator
+
+    lossy = tiles.where(F.col("fmt") == F.lit("jpeg"))
+
+    def mm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.frombuffer(b"".join(pdf["px"].tolist()),
+                                dtype="<f4").reshape(len(pdf), -1)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"],
+                "band": pdf["band"],
+                "tmin": np.nanmin(arr, axis=1).astype(np.float32),
+                "tmax": np.nanmax(arr, axis=1).astype(np.float32)})
+
+    plane = (lossy.mapInPandas(mm, schema=_PSNR_MM_SCHEMA)
+             .groupBy("image_id", "band")
+             .agg(F.min("tmin").alias("lo"), F.max("tmax").alias("hi")))
+
+    enriched = lossy.select("image_id", "band", "tile_x", "tile_y", "px") \
+        .join(F.broadcast(plane), ["image_id", "band"])
+
+    def sse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.frombuffer(b"".join(pdf["px"].tolist()),
+                                dtype="<f4").reshape(len(pdf), -1)
+            lo = pdf["lo"].to_numpy(np.float64)
+            hi = pdf["hi"].to_numpy(np.float64)
+            # codec: scale = (hi - lo) / 255.0 in f64, then '<f' narrowing
+            scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+            lo32 = lo.astype(np.float32)[:, None]
+            s32 = scale.astype(np.float32)[:, None]
+            q = np.clip(np.rint((arr - lo32) / s32), 0, 255) \
+                .astype(np.uint8)
+            dec2 = q.astype(np.float32) * s32 + lo32
+            err = dec2.astype(np.float64) - arr.astype(np.float64)
+            finite = np.isfinite(err)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "band": pdf["band"],
+                "tile_x": pdf["tile_x"], "tile_y": pdf["tile_y"],
+                "sse": np.where(finite, err * err, 0.0).sum(axis=1),
+                "n": finite.sum(axis=1).astype(np.int64)})
+
+    parts = enriched.mapInPandas(sse, schema=_PSNR_SSE_SCHEMA)
+    agg = parts.groupBy("image_id", "band").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct("tile_y", "tile_x", "sse"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["sse"]).alias("sse"),
+        F.sum("n").alias("n"))
+    joined = agg.join(plane, ["image_id", "band"])
+    peak = F.when(F.col("hi") > F.col("lo"),
+                  F.col("hi").cast("double") - F.col("lo").cast("double")) \
+        .otherwise(F.lit(1.0))
+    mse = F.col("sse") / F.col("n")
+    psnr_db = F.when(mse == 0, F.lit(float("inf"))).otherwise(
+        F.lit(10.0) * F.log10(peak * peak / mse))
+    return joined.select(
+        "image_id", "band", F.lit("jpeg").alias("fmt"),
+        F.round(psnr_db, 3).alias("psnr"),
+        (psnr_db >= F.lit(threshold)).alias("pass_gate"))

@@ -97,3 +97,40 @@ def test_rank_median_difference_semantics():
     a = float(out.loc[out["method"] == "A", "score"].iloc[0])
     b = float(out.loc[out["method"] == "B", "score"].iloc[0])
     assert a == 0.0 and b < 0
+
+
+def test_lossy_psnr_audit_matches_codec(spark):
+    """The dataflow quantizer reproduction must equal the real codec
+    roundtrip bit-for-bit (same f32 arithmetic), per (image, band)."""
+    import numpy as np
+    import pandas as pd
+    from terraspark import codecs
+    from terraspark.config import TILE
+    from terraspark import metrics as tmetrics
+
+    rng = np.random.default_rng(77)
+    n_tiles = 4
+    planes = {"img_a": rng.uniform(10, 900, (1, TILE, n_tiles * TILE))
+              .astype(np.float32),
+              "img_b": rng.normal(500, 80, (1, TILE, n_tiles * TILE))
+              .astype(np.float32)}
+    rows = []
+    for iid, px in planes.items():
+        for tx in range(n_tiles):
+            blk = np.ascontiguousarray(
+                px[0, :, tx * TILE:(tx + 1) * TILE])
+            rows.append({"image_id": iid, "fmt": "jpeg", "band": 0,
+                         "tile_x": tx, "tile_y": 0,
+                         "px": blk.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "image_id string, fmt string, band int, tile_x int, tile_y int, "
+        "px binary")
+    got = tmetrics.lossy_psnr_audit(tiles).toPandas() \
+        .set_index("image_id").sort_index()
+    for iid, px in planes.items():
+        dec2 = codecs.decode(codecs.encode(px, "jpeg"), "jpeg",
+                             1, TILE, n_tiles * TILE)
+        want = codecs.psnr(px[0], dec2[0])
+        assert abs(got.loc[iid, "psnr"] - round(want, 3)) < 1e-9, iid
+        assert bool(got.loc[iid, "pass_gate"]) == (want >= 40.0)
