@@ -62,3 +62,17 @@ def test_two_level_sample_equals_global(spark):
     g = glob.toPandas().sort_values(["lang", "rn"]).reset_index(drop=True)
     assert t.equals(g)
     assert (t.groupby("lang").size() == k).all()
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The bucket decomposition must plan as a broadcast HASH join on the
+    bucket key -- never BroadcastNestedLoopJoin (the theta-join fallback
+    that scans every (event, band) combination)."""
+    import __spark_entry__ as E
+    import os
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    df = E.queries()["rel_range_join"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
