@@ -120,6 +120,39 @@ def main():
                           "pass_gate": bool(p >= 40.0)})
     pd.DataFrame(prows).to_parquet(f"{OUT}/expected_psnr.parquet", index=False)
 
+    # histogram-equalization summary: the engine reduces nonzero bins in
+    # ascending order with a left fold; this sequential loop reproduces
+    # the identical f64 operation order, so values match bit-exactly
+    # before the final half_up rounding
+    hrows = []
+    for _, r in images.iterrows():
+        px = codecs.decode(r["bytes"], r["fmt"], BANDS, IMG_H, IMG_W)
+        for b in range(BANDS):
+            a = px[b].astype(np.float64)
+            vals = a[np.isfinite(a)]
+            lo = float(np.nanmin(px[b]))
+            hi = float(np.nanmax(px[b]))
+            bn = (vals - lo) / (hi - lo) * 256 if hi > lo \
+                else np.zeros_like(vals)
+            idx = np.clip(np.floor(bn), 0, 255).astype(np.int64)
+            cnt = np.bincount(idx, minlength=256)
+            n = int(cnt.sum())
+            cum, s1, s2 = 0, 0.0, 0.0
+            for bb in range(256):
+                if cnt[bb] == 0:
+                    continue
+                cum += int(cnt[bb])
+                c = cum / n
+                s1 += c * int(cnt[bb])
+                s2 += c * c * int(cnt[bb])
+            mean = s1 / n
+            var = max(s2 / n - mean * mean, 0.0)
+            hrows.append({"image_id": r["image_id"], "band": b,
+                          "n_px": n, "mean_eq": half_up(mean, 4),
+                          "std_eq": half_up(float(np.sqrt(var)), 4)})
+    pd.DataFrame(hrows).to_parquet(f"{OUT}/expected_histeq.parquet",
+                                   index=False)
+
     # DEM feature checksums per dem_id
     drows = []
     for k, (slope, aspect, lum) in sorted(oracle.feats.items()):

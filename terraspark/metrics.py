@@ -309,3 +309,100 @@ def lossy_psnr_audit(tiles: DataFrame, tile: int = TILE,
         "image_id", "band", F.lit("jpeg").alias("fmt"),
         F.round(psnr_db, 3).alias("psnr"),
         (psnr_db >= F.lit(threshold)).alias("pass_gate"))
+
+
+# ----------------------------------------------------- histogram equalize
+_HIST_BIN_SCHEMA = "image_id string, band int, bin int, cnt long"
+
+
+def hist_equalize_summary(tiles: DataFrame, bins: int = 256) -> DataFrame:
+    """Distributed histogram equalization, summarized per (image, band).
+
+    The classic raster contrast op (gdal-style): pixel -> its CDF value.
+    Two passes over pixels, then pure JVM reduction:
+
+      1. plane (lo, hi) via per-tile f32 min/max partials (exact);
+      2. per-tile bin-count partials (nonzero bins only) -> groupBy sum;
+      3. CDF by a per-plane window cumsum over bins; because the
+         equalized value of every pixel in bin b is cdf[b], the plane's
+         equalized mean/std are EXACT functions of the histogram alone:
+         mean = sum_b cdf[b]*cnt[b] / n -- no third pixel pass.
+
+    The bin reduction runs as a deterministic left fold in bin order
+    (sort_array + aggregate), so the f64 result is bit-stable at any
+    parallelism and bit-equal to the numpy model's sequential loop.
+    Non-finite pixels are excluded (NDV contract, as everywhere).
+    """
+    from typing import Iterator
+
+    def mm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.frombuffer(b"".join(pdf["px"].tolist()),
+                                dtype="<f4").reshape(len(pdf), -1)
+            with np.errstate(all="ignore"):
+                yield pd.DataFrame({
+                    "image_id": pdf["image_id"], "band": pdf["band"],
+                    "tmin": np.nanmin(arr, axis=1).astype(np.float32),
+                    "tmax": np.nanmax(arr, axis=1).astype(np.float32)})
+
+    base = tiles.select("image_id", "band", "px")
+    plane = (base.mapInPandas(mm, schema="image_id string, band int, "
+                                         "tmin float, tmax float")
+             .groupBy("image_id", "band")
+             .agg(F.min("tmin").alias("lo"), F.max("tmax").alias("hi")))
+
+    enriched = base.join(F.broadcast(plane), ["image_id", "band"])
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.frombuffer(b"".join(pdf["px"].tolist()),
+                                dtype="<f4").reshape(len(pdf), -1)
+            lo = pdf["lo"].to_numpy(np.float64)[:, None]
+            hi = pdf["hi"].to_numpy(np.float64)[:, None]
+            a = arr.astype(np.float64)
+            with np.errstate(all="ignore"):
+                b = np.where(hi > lo,
+                             (a - lo) / (hi - lo) * bins, 0.0)
+            out = {"image_id": [], "band": [], "bin": [], "cnt": []}
+            for i in range(len(pdf)):
+                row = b[i][np.isfinite(a[i])]
+                idx = np.clip(np.floor(row), 0, bins - 1).astype(np.int64)
+                nz = np.bincount(idx, minlength=bins)
+                (which,) = nz.nonzero()
+                out["image_id"].extend([pdf["image_id"].iat[i]] * len(which))
+                out["band"].extend([pdf["band"].iat[i]] * len(which))
+                out["bin"].extend(which.tolist())
+                out["cnt"].extend(nz[which].tolist())
+            yield pd.DataFrame(out)
+
+    counts = (enriched.mapInPandas(hist, schema=_HIST_BIN_SCHEMA)
+              .groupBy("image_id", "band", "bin")
+              .agg(F.sum("cnt").alias("cnt")))
+
+    from pyspark.sql import Window
+    wp = Window.partitionBy("image_id", "band")
+    cdf = counts.withColumn("n", F.sum("cnt").over(wp)) \
+        .withColumn("cum", F.sum("cnt").over(
+            wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))) \
+        .withColumn("cdf", F.col("cum").cast("double")
+                    / F.col("n").cast("double"))
+
+    packed = cdf.groupBy("image_id", "band").agg(
+        F.max("n").alias("n_px"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", "cdf", "cnt"))),
+            F.struct(F.lit(0.0).alias("s1"), F.lit(0.0).alias("s2")),
+            lambda acc, x: F.struct(
+                (acc["s1"] + x["cdf"] * x["cnt"]).alias("s1"),
+                (acc["s2"] + x["cdf"] * x["cdf"] * x["cnt"]).alias("s2")))
+        .alias("s"))
+    mean = F.col("s.s1") / F.col("n_px")
+    var = F.col("s.s2") / F.col("n_px") - mean * mean
+    return packed.select(
+        "image_id", "band", F.col("n_px").cast("long").alias("n_px"),
+        F.round(mean, 4).alias("mean_eq"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("std_eq"))

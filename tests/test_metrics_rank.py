@@ -134,3 +134,39 @@ def test_lossy_psnr_audit_matches_codec(spark):
         want = codecs.psnr(px[0], dec2[0])
         assert abs(got.loc[iid, "psnr"] - round(want, 3)) < 1e-9, iid
         assert bool(got.loc[iid, "pass_gate"]) == (want >= 40.0)
+
+
+def test_hist_equalize_matches_per_pixel_path(spark):
+    """The histogram-identity reduction (sum_b cdf[b]*cnt[b]) must equal
+    the direct per-pixel equalization (every pixel mapped to its bin's
+    CDF, then plain mean/std) -- an independent formula, not the
+    engine's."""
+    import numpy as np
+    import pandas as pd
+    from terraspark.config import TILE
+    from terraspark import metrics as tmetrics
+
+    rng = np.random.default_rng(5)
+    n_tiles = 4
+    plane = rng.gamma(2.0, 50.0, (TILE, n_tiles * TILE)).astype(np.float32)
+    plane[rng.random(plane.shape) < 0.02] = np.nan   # NDV holes
+    rows = []
+    for tx in range(n_tiles):
+        blk = np.ascontiguousarray(plane[:, tx * TILE:(tx + 1) * TILE])
+        rows.append({"image_id": "im", "band": 0, "tile_x": tx,
+                     "tile_y": 0, "px": blk.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "image_id string, band int, tile_x int, tile_y int, px binary")
+    got = tmetrics.hist_equalize_summary(tiles).toPandas().iloc[0]
+
+    vals = plane[np.isfinite(plane)].astype(np.float64)
+    lo, hi = float(np.nanmin(plane)), float(np.nanmax(plane))
+    idx = np.clip(np.floor((vals - lo) / (hi - lo) * 256), 0, 255) \
+        .astype(np.int64)
+    cnt = np.bincount(idx, minlength=256)
+    cdf = np.cumsum(cnt) / len(vals)
+    eq = cdf[idx]                       # per-pixel mapping
+    assert got["n_px"] == len(vals)
+    assert abs(got["mean_eq"] - eq.mean()) < 1e-3
+    assert abs(got["std_eq"] - eq.std()) < 1e-3
