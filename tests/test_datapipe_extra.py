@@ -13,3 +13,24 @@ def test_kmeans_deterministic_and_improving(spark):
     a0 = kmeans(emb, k=4, iters=1).toPandas()
     assert a1["cos"].mean() >= a0["cos"].mean()   # Lloyd monotonicity
     assert set(a1["cluster"].unique()) <= set(range(4))
+
+
+def test_hll_accuracy_high_cardinality(spark):
+    """Raw-HLL branch (cardinality >> 2.5m): estimate within 3 sigma
+    (sigma = 1.04/sqrt(256) ~ 6.5%) of the true distinct count; exact
+    count rides the same shuffle and must be exact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from terraspark.datapipe import sketches
+
+    n = 20000
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * n + ["b"] * n,
+                      "v": [f"tok_{i}" for i in range(n)]
+                           + [f"tok_{i % 500}" for i in range(n)]}),
+        "g string, v string")
+    out = sketches.hll_distinct(df, ["g"], "v").toPandas().set_index("g")
+    assert out.loc["a", "exact_distinct"] == n
+    assert out.loc["b", "exact_distinct"] == 500
+    assert abs(out.loc["a", "hll_est"] - n) / n < 0.20          # 3 sigma
+    assert abs(out.loc["b", "hll_est"] - 500) / 500 < 0.20
