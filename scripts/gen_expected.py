@@ -153,6 +153,28 @@ def main():
     pd.DataFrame(hrows).to_parquet(f"{OUT}/expected_histeq.parquet",
                                    index=False)
 
+    # tile-boundary-correct convolution: the model convolves the WHOLE
+    # plane (pad_extrapolate + shared conv3) and slices per-tile sums;
+    # the engine must reproduce them from per-tile halo assembly
+    from terraspark.convolve import KERNEL_GAUSS3, conv3
+    from terraspark.kernels import pad_extrapolate
+    crows = []
+    n_tiles = IMG_W // TILE
+    for _, r in images.iterrows():
+        px = codecs.decode(r["bytes"], r["fmt"], BANDS, IMG_H, IMG_W)
+        plane = px[0].astype(np.float64)
+        conv = conv3(pad_extrapolate(plane), KERNEL_GAUSS3)
+        for ty in range(IMG_H // TILE):
+            for tx in range(n_tiles):
+                blk = conv[ty * TILE:(ty + 1) * TILE,
+                           tx * TILE:(tx + 1) * TILE]
+                crows.append({
+                    "image_id": r["image_id"], "tile_x": tx, "tile_y": ty,
+                    "n_nan": int(np.isnan(blk).sum()),
+                    "conv_sum": half_up(float(np.nansum(blk)), 4)})
+    pd.DataFrame(crows).to_parquet(f"{OUT}/expected_convolve.parquet",
+                                   index=False)
+
     # DEM feature checksums per dem_id
     drows = []
     for k, (slope, aspect, lum) in sorted(oracle.feats.items()):

@@ -1,0 +1,176 @@
+"""Generic tile-boundary-correct image convolution via halo exchange.
+
+The raster-engine counterpart of the DEM slope/aspect derivation
+(terraspark.dem): a 3x3 kernel needs a 1-pixel halo, so each image tile
+emits its edge rows/cols/corners to its grid neighbors (tile_x/tile_y
+space -- no cell keys needed inside one image), one shuffle gathers the
+(image_id, band, tile) groups, and a sorted-partition assembler builds
+the (TILE+2)^2 padded block and evaluates the kernel.
+
+Border semantics are EXACTLY gdaldem COMPUTE_EDGES linear extrapolation:
+the padded-block assembly is terraspark.dem.assemble_padded -- the same
+tested function the DEM derivation uses (halo == full-grid proven in
+test_units for the DEM case; test_convolve re-proves it for image
+planes), so a tile-parallel convolution is bit-identical to convolving
+the whole plane at once.
+
+Scale: shuffle volume is ~1.03x the image bytes (center tile + 4 thin
+strips + 4 corner pixels); the grouping key (image_id, band, tile) is
+uniform, no skew; one Python call per partition (contiguous sorted
+groups), all f64 math inside.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .config import TILE
+from .dem import assemble_padded
+
+# classic 3x3 binomial (Gaussian) blur; any 3x3 f64 kernel works
+KERNEL_GAUSS3 = np.array([[1.0, 2.0, 1.0],
+                          [2.0, 4.0, 2.0],
+                          [1.0, 2.0, 1.0]]) / 16.0
+
+_HALO_SCHEMA = ("image_id string, band int, ttx int, tty int, role string, "
+                "data binary")
+_OUT_SCHEMA = ("image_id string, band int, tile_x int, tile_y int, "
+               "conv binary, n_nan int, conv_sum double")
+
+# sender-relative emits: (role at the TARGET, d_tile_x, d_tile_y).
+# raster row 0 is the tile's top; the target's N halo row is the bottom
+# row of the tile above it (tty - 1), so a sender provides it to tty + 1.
+_EMITS = (
+    ("C", 0, 0), ("N", 0, 1), ("S", 0, -1), ("W", 1, 0), ("E", -1, 0),
+    ("NW", 1, 1), ("NE", -1, 1), ("SW", 1, -1), ("SE", -1, -1),
+)
+
+
+def _payload(z: np.ndarray, role: str) -> np.ndarray:
+    if role == "C":
+        return z
+    if role == "N":
+        return z[-1]
+    if role == "S":
+        return z[0]
+    if role == "W":
+        return z[:, -1]
+    if role == "E":
+        return z[:, 0]
+    if role == "NW":
+        return z[-1:, -1]
+    if role == "NE":
+        return z[-1:, :1][0]
+    if role == "SW":
+        return z[:1, -1]
+    return z[:1, :1][0]          # SE
+
+
+def conv3(zp: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """3x3 convolution of a 1-px-padded f64 block, deterministic term
+    order (row-major over the kernel) -- shared by the engine assembler
+    and the numpy plane model so sums are bit-identical."""
+    t = zp.shape[0] - 2
+    out = np.zeros((t, zp.shape[1] - 2), dtype=np.float64)
+    for i in range(3):
+        for j in range(3):
+            out += kernel[i, j] * zp[i:i + t, j:j + zp.shape[1] - 2]
+    return out
+
+
+def _emit_halo(batches: Iterator[pd.DataFrame],
+               tile: int) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "image_id", "band", "ttx", "tty", "role", "data")}
+        for row in pdf.itertuples(index=False):
+            z = np.frombuffer(row.px, dtype="<f4").reshape(tile, tile)
+            for role, dx, dy in _EMITS:
+                rows["image_id"].append(row.image_id)
+                rows["band"].append(row.band)
+                rows["ttx"].append(row.tile_x + dx)
+                rows["tty"].append(row.tile_y + dy)
+                rows["role"].append(role)
+                rows["data"].append(np.ascontiguousarray(
+                    _payload(z, role), dtype="<f4").tobytes())
+        yield pd.DataFrame(rows)
+
+
+def _assembler(tile: int, kernel: np.ndarray):
+    cols = ("image_id", "band", "tile_x", "tile_y", "conv", "n_nan",
+            "conv_sum")
+
+    def one(key, g: pd.DataFrame, out: dict):
+        roles = g["role"].to_numpy()
+        cidx = np.where(roles == "C")[0]
+        if not len(cidx):        # halo addressed off the tile grid
+            return
+        data = g["data"].to_numpy()
+        z = np.frombuffer(data[cidx[0]], dtype="<f4") \
+            .reshape(tile, tile).astype(np.float64)
+        strips = {roles[i]: np.frombuffer(data[i], dtype="<f4")
+                  .astype(np.float64)
+                  for i in range(len(g)) if roles[i] != "C"}
+        zp = assemble_padded(z, strips, tile)
+        conv = conv3(zp, kernel)
+        out["image_id"].append(key[0])
+        out["band"].append(int(key[1]))
+        out["tile_x"].append(int(key[2]))
+        out["tile_y"].append(int(key[3]))
+        out["conv"].append(np.ascontiguousarray(
+            conv, dtype="<f4").tobytes())
+        out["n_nan"].append(int(np.isnan(conv).sum()))
+        out["conv_sum"].append(float(np.nansum(conv)))
+
+    def run(batches):
+        leftover = None
+        keys = ["image_id", "band", "ttx", "tty"]
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = tuple(pdf[k].iat[-1] for k in keys)
+            tail = np.logical_and.reduce(
+                [pdf[k] == v for k, v in zip(keys, last)])
+            leftover = pdf[tail]
+            head = pdf[~tail]
+            if not len(head):
+                continue
+            out = {k: [] for k in cols}
+            for key, g in head.groupby(keys, sort=False):
+                one(key, g, out)
+            yield pd.DataFrame(out)
+        if leftover is not None and len(leftover):
+            out = {k: [] for k in cols}
+            for key, g in leftover.groupby(keys, sort=False):
+                one(key, g, out)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def convolve_tiles(tiles: DataFrame, kernel: np.ndarray | None = None,
+                   tile: int = TILE,
+                   partitions: int | None = None) -> DataFrame:
+    """tiles(image_id, band, tile_x, tile_y, px) -> filtered tiles
+    (conv binary f32) + per-tile f64 audit columns (n_nan, conv_sum).
+
+    One halo shuffle keyed (image_id, band, ttx, tty), sorted within
+    partitions so each group is contiguous (the dem.derive_features
+    pattern)."""
+    k = KERNEL_GAUSS3 if kernel is None else np.asarray(kernel, np.float64)
+    if k.shape != (3, 3):
+        raise ValueError(f"3x3 kernel required, got {k.shape}")
+    spark = tiles.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = tiles.select("image_id", "band", "tile_x", "tile_y", "px")
+    halo = base.mapInPandas(lambda it: _emit_halo(it, tile),
+                            schema=_HALO_SCHEMA)
+    shuffled = halo.repartition(partitions, "image_id", "band", "ttx") \
+        .sortWithinPartitions("image_id", "band", "ttx", "tty")
+    return shuffled.mapInPandas(_assembler(tile, k), schema=_OUT_SCHEMA)
