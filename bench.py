@@ -164,8 +164,11 @@ def run_datapipe(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
     out = {}
     for name in picks:
-        df = qs[name](spark, sf_dir)
+        # time CONSTRUCTION + action: iterative operators (dedup_clusters'
+        # CC loop) execute jobs eagerly while the query is being built, so
+        # starting the clock after construction under-reports them
         t0 = time.time()
+        df = qs[name](spark, sf_dir)
         # force every output column (xxhash64 over the full row): a bare
         # count() would let Catalyst prune unneeded projections (e.g.
         # dp_fingerprint's md5) out of the timing; bit_xor can't overflow

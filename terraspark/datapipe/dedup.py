@@ -38,17 +38,28 @@ def _tokens(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
 
 
+def _seed_mins(exploded: DataFrame, unit_col: str, seeds: int) -> DataFrame:
+    """(doc_id, seed, minhash) from (doc_id, <unit>) rows: ONE groupBy
+    with per-seed MIN aggregates, then an unpack to rows.  Identical
+    output to exploding a seed column first (A/B-verified exceptAll-empty
+    at sf0.1) but ~2x faster: the seeds x units row blow-up never
+    materializes, and the shuffle carries one wide row per doc instead of
+    (doc, seed) groups."""
+    aggs = [F.min(F.md5(F.concat_ws("_", unit_col, F.lit(str(s)))))
+            .alias(f"m{s}") for s in range(seeds)]
+    wide = exploded.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("seed"), F.col(f"m{s}").alias("minhash"))
+            for s in range(seeds)])).alias("x")) \
+        .select("doc_id", "x.seed", "x.minhash")
+
+
 def minhash_signature(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
     """(doc_id, seed, minhash): min md5(token || '_' || seed) over the
     document's distinct unigram shingles."""
-    toks = _tokens(docs)
-    per_seed = toks.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(s) for s in range(seeds)])).alias("seed"),
-        "tok",
-    ).groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat_ws("_", "tok", "seed"))).alias("minhash"))
-    return per_seed
+    return _seed_mins(_tokens(docs), "tok", seeds)
 
 
 def minhash_shingle_signature(docs: DataFrame, k: int = 5,
@@ -61,12 +72,7 @@ def minhash_shingle_signature(docs: DataFrame, k: int = 5,
         F.explode(F.array_distinct(F.expr(
             f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
             f"i -> substring(text, i, {k}))"))).alias("sh"))
-    return shingles.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(s) for s in range(seeds)])).alias("seed"),
-        "sh",
-    ).groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat_ws("_", "sh", "seed"))).alias("minhash"))
+    return _seed_mins(shingles, "sh", seeds)
 
 
 def lsh_buckets(signatures: DataFrame,
@@ -127,14 +133,19 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     subset, not the corpus.
     """
     from terraspark.vectorize import connected_components
-    nodes = (pairs.select(F.col("doc_a").alias("cell"))
-             .unionByName(pairs.select(F.col("doc_b").alias("cell")))
+    # materialize the pair plan ONCE: the CC loop references edges in
+    # every iteration, and without a checkpoint Spark re-executes the
+    # whole upstream candidate/verify pipeline per round (measured 59 s
+    # -> 26 s at sf0.1 for the shingle-LSH + Jaccard pipeline)
+    p = pairs.localCheckpoint()
+    nodes = (p.select(F.col("doc_a").alias("cell"))
+             .unionByName(p.select(F.col("doc_b").alias("cell")))
              .distinct())
-    half = pairs.select(F.col("doc_a").alias("src"),
-                        F.col("doc_b").alias("dst"))
+    half = p.select(F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"))
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"),
-                    F.col("src").alias("dst"))).distinct()
+                    F.col("src").alias("dst"))).distinct().localCheckpoint()
     labels = connected_components(nodes, edges, max_iter)
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return (labels.join(sizes, "label")
