@@ -175,6 +175,24 @@ def main():
     pd.DataFrame(crows).to_parquet(f"{OUT}/expected_convolve.parquet",
                                    index=False)
 
+    # morphological dilate: same plane-vs-tiles independence
+    from terraspark.convolve import morph3
+    mrows = []
+    for _, r in images.iterrows():
+        px = codecs.decode(r["bytes"], r["fmt"], BANDS, IMG_H, IMG_W)
+        plane = px[0].astype(np.float64)
+        dil = morph3(pad_extrapolate(plane), "dilate")
+        for ty in range(IMG_H // TILE):
+            for tx in range(n_tiles):
+                blk = dil[ty * TILE:(ty + 1) * TILE,
+                          tx * TILE:(tx + 1) * TILE]
+                mrows.append({
+                    "image_id": r["image_id"], "tile_x": tx, "tile_y": ty,
+                    "n_nan": int(np.isnan(blk).sum()),
+                    "conv_sum": half_up(float(np.nansum(blk)), 4)})
+    pd.DataFrame(mrows).to_parquet(f"{OUT}/expected_morph.parquet",
+                                   index=False)
+
     # DEM feature checksums per dem_id
     drows = []
     for k, (slope, aspect, lum) in sorted(oracle.feats.items()):

@@ -99,14 +99,58 @@ def _emit_halo(batches: Iterator[pd.DataFrame],
         yield pd.DataFrame(rows)
 
 
-def _assembler(tile: int, kernel: np.ndarray):
+def convolve_tiles(tiles: DataFrame, kernel: np.ndarray | None = None,
+                   tile: int = TILE,
+                   partitions: int | None = None) -> DataFrame:
+    """tiles(image_id, band, tile_x, tile_y, px) -> filtered tiles
+    (conv binary f32) + per-tile f64 audit columns (n_nan, conv_sum).
+
+    One halo shuffle keyed (image_id, band, ttx, tty), sorted within
+    partitions so each group is contiguous (the dem.derive_features
+    pattern)."""
+    k = KERNEL_GAUSS3 if kernel is None else np.asarray(kernel, np.float64)
+    if k.shape != (3, 3):
+        raise ValueError(f"3x3 kernel required, got {k.shape}")
+    return _apply_padded(tiles, lambda zp: conv3(zp, k), tile, partitions)
+
+
+# ------------------------------------------------------------- morphology
+def morph3(zp: np.ndarray, op: str) -> np.ndarray:
+    """3x3 dilate (max) / erode (min) of a 1-px-padded f64 block.
+    NaN propagates through the structuring element, mirroring conv3."""
+    t, w = zp.shape[0] - 2, zp.shape[1] - 2
+    f = np.maximum if op == "dilate" else np.minimum
+    out = zp[0:t, 0:w].copy()
+    for i in range(3):
+        for j in range(3):
+            if i == 0 and j == 0:
+                continue
+            out = f(out, zp[i:i + t, j:j + w])
+    return out
+
+
+def _apply_padded(tiles: DataFrame, fn, tile: int,
+                  partitions: int | None) -> DataFrame:
+    """Shared halo-exchange driver: fn(zp f64 padded) -> f64 block."""
+    spark = tiles.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = tiles.select("image_id", "band", "tile_x", "tile_y", "px")
+    halo = base.mapInPandas(lambda it: _emit_halo(it, tile),
+                            schema=_HALO_SCHEMA)
+    shuffled = halo.repartition(partitions, "image_id", "band", "ttx") \
+        .sortWithinPartitions("image_id", "band", "ttx", "tty")
+    return shuffled.mapInPandas(_assembler_fn(tile, fn), schema=_OUT_SCHEMA)
+
+
+def _assembler_fn(tile: int, fn):
     cols = ("image_id", "band", "tile_x", "tile_y", "conv", "n_nan",
             "conv_sum")
 
     def one(key, g: pd.DataFrame, out: dict):
         roles = g["role"].to_numpy()
         cidx = np.where(roles == "C")[0]
-        if not len(cidx):        # halo addressed off the tile grid
+        if not len(cidx):
             return
         data = g["data"].to_numpy()
         z = np.frombuffer(data[cidx[0]], dtype="<f4") \
@@ -114,16 +158,14 @@ def _assembler(tile: int, kernel: np.ndarray):
         strips = {roles[i]: np.frombuffer(data[i], dtype="<f4")
                   .astype(np.float64)
                   for i in range(len(g)) if roles[i] != "C"}
-        zp = assemble_padded(z, strips, tile)
-        conv = conv3(zp, kernel)
+        res = fn(assemble_padded(z, strips, tile))
         out["image_id"].append(key[0])
         out["band"].append(int(key[1]))
         out["tile_x"].append(int(key[2]))
         out["tile_y"].append(int(key[3]))
-        out["conv"].append(np.ascontiguousarray(
-            conv, dtype="<f4").tobytes())
-        out["n_nan"].append(int(np.isnan(conv).sum()))
-        out["conv_sum"].append(float(np.nansum(conv)))
+        out["conv"].append(np.ascontiguousarray(res, dtype="<f4").tobytes())
+        out["n_nan"].append(int(np.isnan(res).sum()))
+        out["conv_sum"].append(float(np.nansum(res)))
 
     def run(batches):
         leftover = None
@@ -153,24 +195,11 @@ def _assembler(tile: int, kernel: np.ndarray):
     return run
 
 
-def convolve_tiles(tiles: DataFrame, kernel: np.ndarray | None = None,
-                   tile: int = TILE,
-                   partitions: int | None = None) -> DataFrame:
-    """tiles(image_id, band, tile_x, tile_y, px) -> filtered tiles
-    (conv binary f32) + per-tile f64 audit columns (n_nan, conv_sum).
-
-    One halo shuffle keyed (image_id, band, ttx, tty), sorted within
-    partitions so each group is contiguous (the dem.derive_features
-    pattern)."""
-    k = KERNEL_GAUSS3 if kernel is None else np.asarray(kernel, np.float64)
-    if k.shape != (3, 3):
-        raise ValueError(f"3x3 kernel required, got {k.shape}")
-    spark = tiles.sparkSession
-    if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    base = tiles.select("image_id", "band", "tile_x", "tile_y", "px")
-    halo = base.mapInPandas(lambda it: _emit_halo(it, tile),
-                            schema=_HALO_SCHEMA)
-    shuffled = halo.repartition(partitions, "image_id", "band", "ttx") \
-        .sortWithinPartitions("image_id", "band", "ttx", "tty")
-    return shuffled.mapInPandas(_assembler(tile, k), schema=_OUT_SCHEMA)
+def morph_tiles(tiles: DataFrame, op: str = "dilate", tile: int = TILE,
+                partitions: int | None = None) -> DataFrame:
+    """3x3 morphological dilate/erode over image tiles, halo-correct
+    (same seam guarantee as convolve_tiles; borders see the gdaldem
+    extrapolation pad, identical to operating on the whole plane)."""
+    if op not in ("dilate", "erode"):
+        raise ValueError(op)
+    return _apply_padded(tiles, lambda zp: morph3(zp, op), tile, partitions)

@@ -51,3 +51,20 @@ def test_kernel_shape_guard(spark):
     with pytest.raises(ValueError):
         convolve_tiles(_tiles_df(spark, np.zeros(
             (TILE, TILE), np.float32), 1, 1), kernel=np.ones((5, 5)))
+
+
+def test_morphology_equals_whole_plane(spark):
+    from terraspark.convolve import morph3, morph_tiles
+    rng = np.random.default_rng(9)
+    nx, ny = 3, 2
+    plane = rng.uniform(0, 255, (ny * TILE, nx * TILE)).astype(np.float32)
+    got = morph_tiles(_tiles_df(spark, plane, nx, ny), op="erode").toPandas()
+    want = morph3(pad_extrapolate(plane.astype(np.float64)), "erode")
+    assert len(got) == nx * ny
+    for r in got.itertuples(index=False):
+        w = want[r.tile_y * TILE:(r.tile_y + 1) * TILE,
+                 r.tile_x * TILE:(r.tile_x + 1) * TILE]
+        assert r.conv_sum == float(np.nansum(w))
+    # dilate >= identity >= erode, everywhere
+    dil = morph3(pad_extrapolate(plane.astype(np.float64)), "dilate")
+    assert (dil >= plane - 1e-12).all() and (want <= plane + 1e-12).all()
