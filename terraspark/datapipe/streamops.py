@@ -146,3 +146,34 @@ def stream_windowed_counts(spark: SparkSession, events_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# ------------------------------------------------------ stream-static join
+DOCS_LANG_DDL = "doc_id long, text string, lang string"
+
+
+def stream_static_join(spark: SparkSession, docs_dir: str,
+                       dim: DataFrame, out_dir: str,
+                       checkpoint_dir: str) -> None:
+    """STREAM-STATIC broadcast join: streaming document rows enriched
+    with a static dimension table (per-lang weight), appended per
+    micro-batch.  The static side is broadcast and re-resolved each
+    micro-batch (Spark stream-static semantics); the stream side never
+    shuffles and no state is kept -- the third streaming shape next to
+    applyInPandasWithState (dp_stream_dedup) and watermarked windows
+    (dp_stream_window).  availableNow + checkpoint = each drop processed
+    exactly once across re-invocations."""
+    stream = spark.readStream.schema(DOCS_LANG_DDL).parquet(docs_dir)
+    enriched = (stream
+                .withColumn("n_tokens", F.size(F.split("text", " ")))
+                .join(F.broadcast(dim), "lang")
+                .select("doc_id", "lang", "weight",
+                        (F.col("n_tokens") * F.col("weight"))
+                        .alias("weighted_tokens")))
+    q = (enriched.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -246,3 +246,35 @@ def test_stream_windowed_counts_watermark(spark, tmp_path):
     assert got["sum_value"].tolist() == want["sum_value"].tolist()
     # exactly-once: no (window, type) appears twice
     assert not got.duplicated(["window_start", "event_type"]).any()
+
+
+def test_stream_static_join_exactly_once(spark, tmp_path):
+    """Two drops + one checkpoint: second drain processes only the delta;
+    the union equals the batch join exactly (no dup, no loss)."""
+    import os
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from terraspark.datapipe import streamops
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"w{i} w{i + 1} w{i + 2}" for i in range(40)],
+        "lang": ["en", "de"] * 20})
+    dim = spark.createDataFrame([("en", 1.0), ("de", 2.0)],
+                                "lang string, weight double")
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(src)
+    docs[docs["doc_id"] < 25].to_parquet(os.path.join(src, "d0.parquet"),
+                                         index=False)
+    streamops.stream_static_join(spark, src, dim, out, ckpt)
+    first = spark.read.parquet(out).toPandas()
+    assert sorted(first["doc_id"]) == list(range(25))
+    docs[docs["doc_id"] >= 25].to_parquet(os.path.join(src, "d1.parquet"),
+                                          index=False)
+    streamops.stream_static_join(spark, src, dim, out, ckpt)
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    assert sorted(got["doc_id"]) == list(range(40))   # once each
+    # weights applied: every doc has 3 tokens
+    want = {"en": 3.0, "de": 6.0}
+    assert all(got["weighted_tokens"].to_numpy()
+               == [want[lg] for lg in got["lang"]])
