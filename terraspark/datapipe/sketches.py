@@ -70,3 +70,59 @@ def hll_distinct(df: DataFrame, group_cols: list[str],
         *group_cols,
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
         F.round(est, 4).alias("hll_est"))
+
+
+# ---------------------------------------------------- histogram quantiles
+def hist_quantile(df: DataFrame, group_cols: list[str], value_col: str,
+                  q: float = 0.5, bins: int = 256) -> DataFrame:
+    """Mergeable equi-width histogram quantile (the fixed-range cousin of
+    a t-digest, chosen because it is EXACTLY reproducible in ANSI SQL):
+    per group, [min, max] is found in one pass, values are binned, and
+    the quantile is linearly interpolated inside the bin where the
+    cumulative count crosses q*n.
+
+    Returns (group..., n, est_q).  All arithmetic is f64 on exact integer
+    counts, with a deterministic bin-order fold -- Spark and the SQL
+    oracle agree bit-for-bit before the final rounding.  Mergeable: bin
+    counts add across datasets (same lo/hi).
+
+    At 100 TB: two scans (min/max, bin counts), shuffles carry only
+    (group, bin) partials with map-side combine -- the same shape as
+    approx_percentile but with a cross-engine-verifiable definition.
+    """
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    rng = df.groupBy(*g).agg(F.min(v).alias("lo"), F.max(v).alias("hi"),
+                             F.count(v).alias("n"))
+    j = df.join(F.broadcast(rng), g)
+    width = (F.col("hi") - F.col("lo")) / bins
+    bin_ = F.when(F.col("hi") > F.col("lo"),
+                  F.least(F.floor((v - F.col("lo")) / width),
+                          F.lit(bins - 1))).otherwise(0).cast("int")
+    counts = j.groupBy(*g, bin_.alias("bin")).agg(F.count("*").alias("c"))
+    packed = counts.groupBy(*g).agg(
+        F.array_sort(F.collect_list(F.struct("bin", "c"))).alias("h"))
+    packed = packed.join(rng, g)
+    # rank of the quantile in the sorted multiset (0-based, continuous):
+    # r = q*(n-1); find bin where cumulative count exceeds r, interpolate
+    # uniformly inside the bin.
+    r = F.lit(q) * (F.col("n").cast("double") - 1)
+    # fold: (cum, est); when cum first passes r, est = lo + width *
+    # (bin + (r - cum_before)/c_bin ... ) using the in-bin uniform model
+    fold = F.aggregate(
+        F.col("h"),
+        F.struct(F.lit(0.0).alias("cum"), F.lit(None).cast("double")
+                 .alias("est")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(acc["est"].isNotNull(), acc["est"])
+            .when(acc["cum"] + x["c"] > r,
+                  F.col("lo")
+                  + ((F.col("hi") - F.col("lo")) / bins)
+                  * (x["bin"]
+                     + (r - acc["cum"]) / x["c"].cast("double")))
+            .otherwise(F.lit(None).cast("double")).alias("est")))
+    est = F.when(F.col("hi") > F.col("lo"), fold["est"]) \
+        .otherwise(F.col("lo"))
+    return packed.select(*g, F.col("n").cast("long").alias("n"),
+                         F.round(est, 6).alias("est_q"))

@@ -106,3 +106,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     text (deterministic, dialect-portable)."""
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def tfidf_top(docs: DataFrame, topk: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc term count, idf =
+    ln(N / doc-frequency), deterministic (score desc, tok asc) tie-break.
+
+    All JVM-side: two groupBys with map-side combine (tf, df), a
+    broadcast of the tiny df table, and a per-doc window bounded by the
+    document's own token count.  N is a driver-side scalar (one count --
+    the k-means-centroids exception to never-collect).
+    """
+    from pyspark.sql import Window
+    n_docs = float(docs.count())
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = (toks.select("doc_id", "tok").distinct()
+             .groupBy("tok").agg(F.count("*").alias("df")))
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id", "tok",
+        F.round(F.col("tf")
+                * F.log(F.lit(n_docs) / F.col("df").cast("double")), 6)
+        .alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("tok").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= topk)
+            .select("doc_id", "tok", "score", "rnk"))

@@ -34,3 +34,27 @@ def test_hll_accuracy_high_cardinality(spark):
     assert out.loc["b", "exact_distinct"] == 500
     assert abs(out.loc["a", "hll_est"] - n) / n < 0.20          # 3 sigma
     assert abs(out.loc["b", "hll_est"] - 500) / 500 < 0.20
+
+
+def test_hist_quantile_close_to_exact(spark):
+    """256-bin interpolated median within one bin width of np.percentile,
+    and exact when values are uniform on the bin grid."""
+    import numpy as np
+    import pandas as pd
+    from terraspark.datapipe import sketches
+
+    rng = np.random.default_rng(42)
+    vals = rng.gamma(3.0, 20.0, 5000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": "a", "v": vals}), "g string, v double")
+    out = sketches.hist_quantile(df, ["g"], "v", q=0.5).toPandas().iloc[0]
+    exact = np.percentile(vals, 50)
+    binw = (vals.max() - vals.min()) / 256
+    assert out["n"] == 5000
+    assert abs(out["est_q"] - exact) <= binw
+
+    # constant column: est_q == the constant (degenerate-range branch)
+    dfc = spark.createDataFrame(
+        pd.DataFrame({"g": "c", "v": [7.5] * 10}), "g string, v double")
+    outc = sketches.hist_quantile(dfc, ["g"], "v").toPandas().iloc[0]
+    assert outc["est_q"] == 7.5
