@@ -84,3 +84,29 @@ def test_repetition_closed_form(spark):
     assert out.loc[1, "n_bigrams"] == 2
     assert out.loc[1, "top_bigram_frac"] == 0.5
     assert out.loc[1, "distinct_bigram_ratio"] == 1.0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+    from terraspark.graph import pagerank
+
+    # star + chain: 0<->1, 0<->2, 0<->3, 3<->4  (symmetrized directed)
+    und = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]),
+                               "src long, dst long")
+    got = pagerank(df, iters=3).toPandas().set_index("node")["pr"]
+
+    n, d = 5, 0.85
+    deg = {0: 3, 1: 1, 2: 1, 3: 2, 4: 1}
+    r = {i: 1.0 / n for i in range(5)}
+    for _ in range(3):
+        contrib = {i: 0.0 for i in range(5)}
+        for a, b in edges:
+            contrib[b] += r[a] / deg[a]
+        r = {i: (1 - d) / n + d * contrib[i] for i in range(5)}
+    for i in range(5):
+        assert abs(got[i] - r[i]) < 1e-12, i
+    # hub outranks leaves; total mass conserved (no dangling nodes)
+    assert got[0] == got.max()
+    assert abs(got.sum() - 1.0) < 1e-9
