@@ -193,6 +193,23 @@ def main():
     pd.DataFrame(mrows).to_parquet(f"{OUT}/expected_morph.parquet",
                                    index=False)
 
+    # bilinear 2x upsample: plane-level model, per-128x128-tile sums
+    from terraspark.convolve import bilinear2x
+    rrows = []
+    for _, r in images.iterrows():
+        px = codecs.decode(r["bytes"], r["fmt"], BANDS, IMG_H, IMG_W)
+        up = bilinear2x(pad_extrapolate(px[0].astype(np.float64)))
+        for ty in range(IMG_H // TILE):
+            for tx in range(n_tiles):
+                blk = up[ty * 2 * TILE:(ty + 1) * 2 * TILE,
+                         tx * 2 * TILE:(tx + 1) * 2 * TILE]
+                rrows.append({
+                    "image_id": r["image_id"], "tile_x": tx, "tile_y": ty,
+                    "n_nan": int(np.isnan(blk).sum()),
+                    "conv_sum": half_up(float(np.nansum(blk)), 4)})
+    pd.DataFrame(rrows).to_parquet(f"{OUT}/expected_resample.parquet",
+                                   index=False)
+
     # DEM feature checksums per dem_id
     drows = []
     for k, (slope, aspect, lum) in sorted(oracle.feats.items()):

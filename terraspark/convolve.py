@@ -203,3 +203,33 @@ def morph_tiles(tiles: DataFrame, op: str = "dilate", tile: int = TILE,
     if op not in ("dilate", "erode"):
         raise ValueError(op)
     return _apply_padded(tiles, lambda zp: morph3(zp, op), tile, partitions)
+
+
+# -------------------------------------------------------------- resample
+def bilinear2x(zp: np.ndarray) -> np.ndarray:
+    """2x bilinear upsample of a 1-px-padded f64 block -> (2t, 2w).
+
+    Half-pixel-center (align_corners=False) sampling: output index o
+    samples input coordinate (o + 0.5)/2 - 0.5, so even rows mix
+    (0.25 up, 0.75 center) and odd rows (0.75 center, 0.25 down) --
+    weights fall on the 1-px halo only, which is why the same ring-1
+    exchange that serves the 3x3 kernels serves resampling.  Identical
+    expression order in engine and plane model -> bit-equal."""
+    t, w = zp.shape[0] - 2, zp.shape[1] - 2
+    c = zp[1:t + 1]
+    rows = np.empty((2 * t, w + 2), dtype=np.float64)
+    rows[0::2] = 0.25 * zp[0:t] + 0.75 * c
+    rows[1::2] = 0.75 * c + 0.25 * zp[2:t + 2]
+    out = np.empty((2 * t, 2 * w), dtype=np.float64)
+    cc = rows[:, 1:w + 1]
+    out[:, 0::2] = 0.25 * rows[:, 0:w] + 0.75 * cc
+    out[:, 1::2] = 0.75 * cc + 0.25 * rows[:, 2:w + 2]
+    return out
+
+
+def resample_tiles(tiles: DataFrame, tile: int = TILE,
+                   partitions: int | None = None) -> DataFrame:
+    """Halo-correct 2x bilinear upsample: each 64x64 tile becomes a
+    128x128 tile, and the concatenation is bit-identical to upsampling
+    the whole plane at once (same seam guarantee as convolve_tiles)."""
+    return _apply_padded(tiles, bilinear2x, tile, partitions)

@@ -68,3 +68,22 @@ def test_morphology_equals_whole_plane(spark):
     # dilate >= identity >= erode, everywhere
     dil = morph3(pad_extrapolate(plane.astype(np.float64)), "dilate")
     assert (dil >= plane - 1e-12).all() and (want <= plane + 1e-12).all()
+
+
+def test_resample_equals_whole_plane_and_interpolates(spark):
+    from terraspark.convolve import bilinear2x, resample_tiles
+    rng = np.random.default_rng(21)
+    nx, ny = 3, 2
+    plane = rng.normal(50.0, 10.0, (ny * TILE, nx * TILE)).astype(np.float32)
+    got = resample_tiles(_tiles_df(spark, plane, nx, ny)).toPandas()
+    up = bilinear2x(pad_extrapolate(plane.astype(np.float64)))
+    assert up.shape == (2 * ny * TILE, 2 * nx * TILE)
+    for r in got.itertuples(index=False):
+        g = np.frombuffer(r.conv, dtype="<f4").reshape(2 * TILE, 2 * TILE)
+        w = up[r.tile_y * 2 * TILE:(r.tile_y + 1) * 2 * TILE,
+               r.tile_x * 2 * TILE:(r.tile_x + 1) * 2 * TILE]
+        assert r.conv_sum == float(np.nansum(w)), (r.tile_x, r.tile_y)
+        assert np.array_equal(g, w.astype(np.float32))
+    # interpolation sanity: odd/even samples straddle the input values
+    # (interior pixel: out[2i+1, 2j+1] is a convex combination)
+    assert abs(up.mean() - plane.astype(np.float64).mean()) < 0.05
