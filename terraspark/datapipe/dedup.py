@@ -234,3 +234,38 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def word_ngram_hashes(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, h): md5 of every DISTINCT n-word gram of the document.
+
+    Word n-grams (not char shingles) are the standard unit for benchmark
+    decontamination (GPT-3 used 13-grams, Gopher/Chinchilla 8-grams).
+    The split + sequence + slice pipeline is a JVM higher-order function
+    chain -- one pass, no Python.  Docs shorter than n words emit nothing
+    (guarded BEFORE sequence(), whose stop < start would count down)."""
+    k = n - 1
+    w = (docs.select("doc_id", F.split("text", " ").alias("w"))
+         .where(F.size("w") >= n))
+    return w.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            f"transform(sequence(1, size(w) - {k}), "
+            f"i -> md5(concat_ws(' ', slice(w, i, {n}))))"))).alias("h"))
+
+
+def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_hits) for every corpus doc
+    sharing at least one n-word gram with the eval/benchmark set.
+
+    Scale shape: the eval set is tiny next to a 100 TB corpus, so its
+    distinct gram-hash set is BROADCAST -- the corpus side never
+    shuffles its text or grams; only the matched (doc_id, h) hits (a
+    vanishingly small fraction) reach the final map-side-combinable
+    count-distinct.  n_hits counts DISTINCT contaminated grams per doc,
+    the usual severity signal for drop-vs-redact decisions."""
+    ev = word_ngram_hashes(eval_docs, n).select("h").distinct()
+    hits = word_ngram_hashes(corpus, n).join(F.broadcast(ev), "h")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("h").cast("long").alias("n_hits"))

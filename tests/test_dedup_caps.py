@@ -132,3 +132,41 @@ def test_simhash_pairs_banding_equals_direct(spark):
     pd.testing.assert_frame_equal(got, exp)
     # the 5 planted exact copies are all hamming-0 pairs
     assert (got[got["doc_b"] >= 100]["hamming"] == 0).sum() >= 5
+
+
+# ---------------------------------------------------------------- decontam
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc embedding an eval doc's text is flagged with exactly
+    the eval doc's distinct 8-gram count; clean docs and sub-8-word docs
+    are not flagged."""
+    import pandas as pd
+    ev_text = " ".join(f"e{i}" for i in range(12))       # 12 words -> 5 grams
+    rows = [
+        {"doc_id": 0, "text": ev_text},                              # eval
+        {"doc_id": 1, "text": "prefix words here " + ev_text},       # dirty
+        {"doc_id": 2, "text": " ".join(f"c{i}" for i in range(20))}, # clean
+        {"doc_id": 3, "text": "too short for any gram"},             # <8 words
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows),
+                                 "doc_id long, text string")
+    out = dedup.decontaminate(
+        corpus=docs.where(F.col("doc_id") > 0),
+        eval_docs=docs.where(F.col("doc_id") == 0), n=8,
+    ).toPandas().set_index("doc_id")["n_hits"].to_dict()
+    assert out == {1: 5}                       # 12 words -> 12-8+1 = 5 grams
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval gram set must reach the corpus join as a broadcast: the
+    100 TB corpus side never shuffles its grams."""
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame(
+        [{"doc_id": i, "text": " ".join(f"w{i}x{j}" for j in range(10))}
+         for i in range(6)]), "doc_id long, text string")
+    plan = dedup.decontaminate(
+        corpus=docs.where(F.col("doc_id") > 0),
+        eval_docs=docs.where(F.col("doc_id") == 0),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
