@@ -24,14 +24,26 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             dangling: str = "raise") -> DataFrame:
     """(node, pr) after ``iters`` synchronous PageRank iterations over the
     DIRECTED edge list (symmetrize first for undirected graphs).
 
-    Nodes = endpoints of edges.  Assumes every node has at least one
-    out-edge (true for symmetrized graphs); dangling-mass redistribution
-    is deliberately out of scope and documented.
+    Nodes = endpoints of edges.  Dangling nodes (no out-edge -- possible
+    only for a non-symmetrized caller) are handled per ``dangling``:
+
+    * ``"raise"`` (default): fail fast instead of silently leaking rank
+      mass -- the caller either symmetrizes or opts into redistribution;
+    * ``"redistribute"``: the standard fix -- each iteration the mass
+      parked on dangling nodes is summed (one tiny agg: the dangling
+      rank table is |dangling| narrow rows, the result a scalar) and
+      spread uniformly over all nodes, so sum(pr) == 1 holds exactly.
+
+    The dangling check itself is one count over the nodes-minus-degree
+    anti-join, paid once.
     """
+    if dangling not in ("raise", "redistribute"):
+        raise ValueError(f"dangling must be raise|redistribute: {dangling}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .distinct().localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
@@ -39,10 +51,25 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              .distinct().localCheckpoint())
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    dangling_nodes = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti") \
+        .localCheckpoint()
+    n_dangling = dangling_nodes.count()
+    if n_dangling and dangling == "raise":
+        sample = [r["node"] for r in dangling_nodes.limit(5).collect()]
+        raise ValueError(
+            f"pagerank: {n_dangling} node(s) have no out-edge (e.g. "
+            f"{sample}); rank mass would leak.  Symmetrize the edge list "
+            f"or call with dangling='redistribute'.")
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")) \
         .localCheckpoint()
     for _ in range(iters):
+        if n_dangling:
+            d_mass = (ranks.join(dangling_nodes, "node")
+                      .agg(F.sum("pr")).collect()[0][0] or 0.0)
+        else:
+            d_mass = 0.0
         contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
                    .join(deg, "src")
                    .select(F.col("dst").alias("node"),
@@ -50,7 +77,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (nodes.join(summed, "node", "left")
                  .select("node",
-                         (F.lit(base)
+                         (F.lit(base + damping * d_mass / n)
                           + F.lit(damping) * F.coalesce(F.col("s"),
                                                         F.lit(0.0)))
                          .alias("pr"))

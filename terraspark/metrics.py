@@ -254,11 +254,17 @@ def lossy_psnr_audit(tiles: DataFrame, tile: int = TILE,
                 continue
             arr = np.frombuffer(b"".join(pdf["px"].tolist()),
                                 dtype="<f4").reshape(len(pdf), -1)
+            with np.errstate(all="ignore"):
+                tmin = np.nanmin(arr, axis=1).astype(np.float32)
+                tmax = np.nanmax(arr, axis=1).astype(np.float32)
+            # an all-NaN (fully NDV-masked) tile partial is NaN, and
+            # Spark's MAX orders NaN above every double -- drop those
+            # rows so the plane (lo, hi) matches numpy's plane nanmax
+            keep = np.isfinite(tmax)
             yield pd.DataFrame({
-                "image_id": pdf["image_id"],
-                "band": pdf["band"],
-                "tmin": np.nanmin(arr, axis=1).astype(np.float32),
-                "tmax": np.nanmax(arr, axis=1).astype(np.float32)})
+                "image_id": pdf["image_id"].to_numpy()[keep],
+                "band": pdf["band"].to_numpy()[keep],
+                "tmin": tmin[keep], "tmax": tmax[keep]})
 
     plane = (lossy.mapInPandas(mm, schema=_PSNR_MM_SCHEMA)
              .groupBy("image_id", "band")
@@ -342,10 +348,15 @@ def hist_equalize_summary(tiles: DataFrame, bins: int = 256) -> DataFrame:
             arr = np.frombuffer(b"".join(pdf["px"].tolist()),
                                 dtype="<f4").reshape(len(pdf), -1)
             with np.errstate(all="ignore"):
-                yield pd.DataFrame({
-                    "image_id": pdf["image_id"], "band": pdf["band"],
-                    "tmin": np.nanmin(arr, axis=1).astype(np.float32),
-                    "tmax": np.nanmax(arr, axis=1).astype(np.float32)})
+                tmin = np.nanmin(arr, axis=1).astype(np.float32)
+                tmax = np.nanmax(arr, axis=1).astype(np.float32)
+            # drop all-NaN tile partials: Spark MAX sorts NaN above every
+            # double, which would poison the plane hi (see lossy_psnr_audit)
+            keep = np.isfinite(tmax)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"].to_numpy()[keep],
+                "band": pdf["band"].to_numpy()[keep],
+                "tmin": tmin[keep], "tmax": tmax[keep]})
 
     base = tiles.select("image_id", "band", "px")
     plane = (base.mapInPandas(mm, schema="image_id string, band int, "

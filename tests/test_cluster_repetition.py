@@ -110,3 +110,34 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     # hub outranks leaves; total mass conserved (no dangling nodes)
     assert got[0] == got.max()
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_raises_and_redistributes(spark):
+    import numpy as np
+    import pytest as _pytest
+    from terraspark.graph import pagerank
+
+    # directed chain with a dangling sink: 0->1->2 (2 has no out-edge)
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (1, 2)], columns=["src", "dst"]),
+        "src long, dst long")
+    with _pytest.raises(ValueError, match="no out-edge"):
+        pagerank(df, iters=2)
+
+    got = pagerank(df, iters=3, dangling="redistribute") \
+        .toPandas().set_index("node")["pr"]
+    # rank mass conserved exactly under redistribution
+    assert abs(got.sum() - 1.0) < 1e-9
+    # numpy model: dangling mass spread uniformly each iteration
+    n, d = 3, 0.85
+    deg = {0: 1, 1: 1}
+    r = {i: 1.0 / n for i in range(n)}
+    for _ in range(3):
+        d_mass = sum(r[i] for i in range(n) if i not in deg)
+        contrib = {i: 0.0 for i in range(n)}
+        for a, b in [(0, 1), (1, 2)]:
+            contrib[b] += r[a] / deg[a]
+        r = {i: (1 - d) / n + d * (contrib[i] + d_mass / n)
+             for i in range(n)}
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, i
