@@ -45,7 +45,13 @@ def _lloyd(e: DataFrame, k: int, iters: int):
     """Shared Lloyd loop: returns (last assignment DF, final centroid
     matrix c_iters).  The assignment is the one computed against
     c_{iters-1} (kmeans contract); c_iters is the post-loop recompute
-    (kmeans_centroids contract -- what an IVF index would be built on)."""
+    (kmeans_centroids contract -- what an IVF index would be built on).
+
+    Seed scale note: ``orderBy(...).limit(k)`` does NOT plan a global
+    sort -- Spark compiles it to TakeOrderedAndProject (per-partition
+    bounded top-k partials merged on the driver, k rows total), so the
+    seed costs one narrow scan at any corpus size.  Locked by a plan
+    assertion in tests/test_cluster_repetition.py."""
     init = e.orderBy("vec_id").limit(k).collect()
     centroids = np.array([r["vec"] for r in init], dtype=np.float64)
     assigned = None

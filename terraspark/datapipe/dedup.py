@@ -19,6 +19,13 @@ LSH_BAND_SIZE = 2            # 8 hashes -> 4 bands of 2
 # The SQL oracle applies the identical HAVING cap, so engine and oracle
 # stay in lockstep at any scale.
 DEFAULT_MAX_BUCKET = 5_000
+# verify-join token cap: bounds the per-doc vocabulary entering the
+# Jaccard verify join (see jaccard_pairs); docs over the cap contribute
+# a deterministic md5-ordered token sample and are listed by
+# jaccard_cap_audit.  Far above any fixture doc, so small-scale results
+# are exact; at corpus scale it caps the skew a single huge doc shared
+# by many candidate pairs would concentrate into one task.
+MAX_VERIFY_TOKENS = 2_048
 
 
 def exact_stats(docs: DataFrame) -> DataFrame:
@@ -176,9 +183,45 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", expr.alias("simhash"))
 
 
-def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Unigram-set Jaccard similarity for given candidate pairs."""
+def _capped_tokens(docs: DataFrame, max_tokens: int | None) -> DataFrame:
+    """(doc_id, tok) distinct unigrams, optionally truncated to the
+    ``max_tokens`` smallest (md5(tok), tok) per doc -- a deterministic,
+    SQL-portable sample (md5 ordering is content-keyed, so the kept
+    subset is a uniform pseudo-random sample of the doc's vocabulary,
+    not a prefix)."""
     toks = _tokens(docs)
+    if max_tokens is None:
+        return toks
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.md5("tok"), F.col("tok"))
+    return (toks.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_tokens).drop("_rn"))
+
+
+def jaccard_cap_audit(docs: DataFrame, max_tokens: int) -> DataFrame:
+    """(doc_id, n_tokens) for docs whose distinct-unigram count exceeds
+    ``max_tokens`` -- the docs whose Jaccard is estimated from a token
+    sample rather than computed exactly."""
+    return (_tokens(docs).groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"))
+            .where(F.col("n_tokens") > max_tokens))
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                  max_tokens: int | None = None) -> DataFrame:
+    """Unigram-set Jaccard similarity for given candidate pairs.
+
+    ``max_tokens`` bounds the per-doc token set entering the verify join
+    (truncation rule in :func:`_capped_tokens`): without it one
+    pathological pair list -- many pairs all touching one huge doc --
+    re-concentrates the exploded join input into the tasks holding that
+    doc's tokens, the same skew the LSH bucket cap guards against
+    upstream.  With the cap, per-pair join input is <= 2*max_tokens rows
+    and the result is the Jaccard of the sampled vocabularies (exact
+    whenever both docs fit the cap; over-cap docs are enumerable via
+    :func:`jaccard_cap_audit`).  The SQL oracle mirrors the identical
+    truncation window."""
+    toks = _capped_tokens(docs, max_tokens)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")

@@ -141,3 +141,20 @@ def test_pagerank_dangling_raises_and_redistributes(spark):
              for i in range(n)}
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, i
+
+
+def test_kmeans_seed_plans_no_global_sort(spark):
+    """The k-seed orderBy(...).limit(k) must compile to
+    TakeOrderedAndProject (bounded per-partition top-k), never a full
+    SortExec over the embedding table."""
+    from terraspark.datapipe.similarity import with_double_vec
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(100),
+                      "embedding": [[float(i), 1.0] for i in range(100)]}),
+        "vec_id long, embedding array<float>")
+    e = with_double_vec(emb).select("vec_id", "vec").repartition(8)
+    plan = (e.orderBy("vec_id").limit(8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "SortExec" not in plan and "\nSort " not in plan

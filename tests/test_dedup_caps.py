@@ -170,3 +170,72 @@ def test_decontaminate_broadcasts_eval_side(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------- verify-token cap
+
+def test_jaccard_verify_join_token_cap(spark):
+    """One 100k-token doc appearing in 1000 candidate pairs: the verify
+    join input stays bounded by max_tokens per doc, the truncated result
+    matches the python model of the SAME truncation rule, and the audit
+    names exactly the over-cap doc."""
+    import hashlib
+    import pandas as pd
+
+    big = " ".join(f"t{i}" for i in range(100_000))
+    rows = [{"doc_id": 0, "text": big}]
+    # 1000 small docs, each sharing a slice of the big vocab
+    for d in range(1, 1001):
+        rows.append({"doc_id": d,
+                     "text": " ".join(f"t{i}" for i in range(d, d + 50))})
+    docs = spark.createDataFrame(pd.DataFrame(rows),
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        pd.DataFrame([{"doc_a": 0, "doc_b": d} for d in range(1, 1001)]),
+        "doc_a long, doc_b long")
+
+    cap = 256
+    got = dedup.jaccard_pairs(docs, pairs, max_tokens=cap).toPandas() \
+        .set_index("doc_b")["jaccard"].to_dict()
+    # pairs whose truncated vocabularies share nothing drop out of the
+    # inner verify join (the operator's standing semantics, same as the
+    # oracle); everything that survives must match the python model
+
+    # bounded task input: the capped token frame holds <= cap rows for
+    # the big doc (this is what each join task sees at most per doc)
+    capped = dedup._capped_tokens(docs, cap)
+    n_big = capped.where(F.col("doc_id") == 0).count()
+    assert n_big == cap
+
+    # python model of the identical truncation rule
+    def keep(text):
+        toks = sorted(set(text.split(" ")),
+                      key=lambda t: (hashlib.md5(t.encode()).hexdigest(), t))
+        return set(toks[:cap])
+
+    big_set = keep(big)
+    n_checked = 0
+    for d in range(1, 1001):
+        small = keep(" ".join(f"t{i}" for i in range(d, d + 50)))
+        inter = len(big_set & small)
+        if inter == 0:
+            assert d not in got, d
+            continue
+        exp = round(inter / (len(big_set) + len(small) - inter), 6)
+        assert abs(got[d] - exp) < 1e-9, d
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+    audit = dedup.jaccard_cap_audit(docs, cap).toPandas()
+    assert audit["doc_id"].tolist() == [0]
+    assert audit["n_tokens"].iloc[0] == 100_000
+
+    # under-cap behaviour unchanged: exact Jaccard when both docs fit
+    exact = dedup.jaccard_pairs(docs.where(F.col("doc_id") > 0),
+                                pairs.where(F.col("doc_b") == 2)
+                                .select(F.lit(1).alias("doc_a"),
+                                        F.col("doc_b")),
+                                max_tokens=cap).toPandas()
+    inter = len(set(range(1, 51)) & set(range(2, 52)))
+    assert abs(exact["jaccard"].iloc[0]
+               - round(inter / (100 - inter), 6)) < 1e-9
