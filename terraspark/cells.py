@@ -57,10 +57,11 @@ def decode(cell):
     return res, ilat, ilon
 
 
-def from_indices(res: int, ilat, ilon):
+def from_indices(res, ilat, ilon):
+    res = np.asarray(res, dtype=np.int64)
     ilat = np.asarray(ilat, dtype=np.int64)
     ilon = np.asarray(ilon, dtype=np.int64)
-    return (np.int64(res) << (_LAT_BITS + _LON_BITS)) | (ilat << _LON_BITS) | ilon
+    return (res << (_LAT_BITS + _LON_BITS)) | (ilat << _LON_BITS) | ilon
 
 
 def cell_center(cell):

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread_input
+
 MINHASH_SEEDS = 8
 LSH_BAND_SIZE = 2            # 8 hashes -> 4 bands of 2
 # pair-generation bucket cap: a degenerate bucket (e.g. thousands of
@@ -41,6 +43,9 @@ def exact_stats(docs: DataFrame) -> DataFrame:
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
+    # spread a narrow scan BEFORE the explode: shuffling the docs is
+    # cheap, serializing the token fan-out onto one task is not
+    docs = spread_input(docs)
     return docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
 
@@ -74,7 +79,7 @@ def minhash_shingle_signature(docs: DataFrame, k: int = 5,
     """(doc_id, seed, minhash) over CHARACTER k-gram shingles -- the
     canonical near-dup MinHash (order-sensitive, unlike the unigram
     variant).  Shingle generation is a JVM-side higher-order function."""
-    shingles = docs.select(
+    shingles = spread_input(docs).select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(
             f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
@@ -169,7 +174,8 @@ def simhash16(docs: DataFrame) -> DataFrame:
     document bit is 1 when the +/-1 vote sum is positive.  Chosen so the
     identical computation is expressible in ANSI SQL (substr + CASE).
     """
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = spread_input(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = toks.select("doc_id", F.md5("tok").alias("h"))
     votes = h.groupBy("doc_id").agg(*[
         F.sum(F.when(F.substring("h", j + 1, 1).isin(
@@ -288,7 +294,7 @@ def word_ngram_hashes(docs: DataFrame, n: int = 8) -> DataFrame:
     chain -- one pass, no Python.  Docs shorter than n words emit nothing
     (guarded BEFORE sequence(), whose stop < start would count down)."""
     k = n - 1
-    w = (docs.select("doc_id", F.split("text", " ").alias("w"))
+    w = (spread_input(docs).select("doc_id", F.split("text", " ").alias("w"))
          .where(F.size("w") >= n))
     return w.select(
         "doc_id",

@@ -51,8 +51,11 @@ def _norm(a):
 
 
 def with_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
-    return df.withColumn("vec", F.transform(F.col(col),
-                                            lambda x: x.cast("double")))
+    # spread a narrow (single-split) embedding scan so the vector math
+    # parallelizes; no-op on production-scale scans (util.spread_input)
+    from .util import spread_input
+    return spread_input(df).withColumn(
+        "vec", F.transform(F.col(col), lambda x: x.cast("double")))
 
 
 def srp_hyperplanes(dim: int, bits: int = SRP_BITS,

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread_input
+
 # tiny per-language stopword lists (deterministic heuristic language ID)
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
@@ -134,3 +136,30 @@ def tfidf_top(docs: DataFrame, topk: int = 3) -> DataFrame:
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= topk)
             .select("doc_id", "tok", "score", "rnk"))
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram language-model score per document -- the
+    CCNet-style quality/perplexity filter: p(tok) = corpus BAG frequency
+    / total tokens; doc score = mean log10 p over the doc's tokens (bag
+    semantics, so repeated tokens weigh repeatedly).  Lower = more
+    surprising under the corpus model (rare-word soup or noise); a
+    training-data filter drops the tails on both ends.
+
+    Scale: the frequency table is vocab-sized (map-side-combined
+    groupBy); the score join is tok-keyed -- Spark broadcasts it while
+    it fits and falls back to a shuffle join beyond that, both correct.
+    Everything is JVM expression work; output is one narrow row per doc.
+    """
+    toks = spread_input(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freqs.agg(F.sum("cnt").alias("total"))
+    scored = (toks.join(freqs, "tok")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_toks"),
+                   F.avg(F.log10(F.col("cnt") / F.col("total")))
+                   .alias("lp")))
+    return scored.select("doc_id", "n_toks",
+                         F.round("lp", 6).alias("avg_logp"))

@@ -79,26 +79,70 @@ def _payload(z: np.ndarray, role: str) -> np.ndarray:
     raise ValueError(role)
 
 
+def _batch_payload(a: np.ndarray, role: str) -> np.ndarray:
+    """Vectorized ``_payload``: one strip slice of the stacked
+    (n, tile, tile) batch per role (same pixels, batch-at-once)."""
+    n = len(a)
+    if role == "C":
+        return a.reshape(n, -1)
+    if role == "N":
+        return a[:, -1, :]
+    if role == "S":
+        return a[:, 0, :]
+    if role == "W":
+        return a[:, :, -1]
+    if role == "E":
+        return a[:, :, 0]
+    if role == "NW":
+        return a[:, -1, -1].reshape(n, 1)
+    if role == "NE":
+        return a[:, -1, 0].reshape(n, 1)
+    if role == "SW":
+        return a[:, 0, -1].reshape(n, 1)
+    if role == "SE":
+        return a[:, 0, 0].reshape(n, 1)
+    raise ValueError(role)
+
+
 def _emit_halo(batches: Iterator[pd.DataFrame], tile: int) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows: dict[str, list] = {k: [] for k in (
-            "dem_id", "target", "role", "tile_x", "tile_y", "lat", "lon", "data")}
-        for row in pdf.itertuples(index=False):
-            z = np.frombuffer(row.elev, dtype="<f4").reshape(tile, tile)
-            res, ilat, ilon = cells.decode(np.int64(row.cell))
-            for role, (dla, dlo) in _EMITS.items():
-                target = int(cells.from_indices(int(res), int(ilat) + dla,
-                                                int(ilon) + dlo))
-                rows["dem_id"].append(row.dem_id)
-                rows["target"].append(target)
-                rows["role"].append(role)
-                rows["tile_x"].append(row.tile_x if role == "C" else -1)
-                rows["tile_y"].append(row.tile_y if role == "C" else -1)
-                rows["lat"].append(row.lat if role == "C" else 0.0)
-                rows["lon"].append(row.lon if role == "C" else 0.0)
-                rows["data"].append(np.ascontiguousarray(
-                    _payload(z, role), dtype="<f4").tobytes())
-        yield pd.DataFrame(rows)
+        if not len(pdf):
+            continue
+        n = len(pdf)
+        a = np.frombuffer(b"".join(pdf["elev"].tolist()),
+                          dtype="<f4").reshape(n, tile, tile)
+        res, ilat, ilon = cells.decode(pdf["cell"].to_numpy(np.int64))
+        dem_ids = pdf["dem_id"].to_numpy()
+        txs = pdf["tile_x"].to_numpy()
+        tys = pdf["tile_y"].to_numpy()
+        lats = pdf["lat"].to_numpy()
+        lons = pdf["lon"].to_numpy()
+        neg1 = np.full(n, -1, dtype=txs.dtype)
+        zero = np.zeros(n, dtype=np.float64)
+        cols: dict[str, list] = {k: [] for k in (
+            "dem_id", "target", "role", "tile_x", "tile_y", "lat", "lon",
+            "data")}
+        for role, (dla, dlo) in _EMITS.items():
+            target = cells.from_indices(res, ilat + dla, ilon + dlo)
+            p = np.ascontiguousarray(_batch_payload(a, role), dtype="<f4")
+            is_c = role == "C"
+            cols["dem_id"].append(dem_ids)
+            cols["target"].append(target)
+            cols["role"].append(np.full(n, role, dtype=object))
+            cols["tile_x"].append(txs if is_c else neg1)
+            cols["tile_y"].append(tys if is_c else neg1)
+            cols["lat"].append(lats if is_c else zero)
+            cols["lon"].append(lons if is_c else zero)
+            cols["data"].append([r.tobytes() for r in p])
+        yield pd.DataFrame({
+            "dem_id": np.concatenate(cols["dem_id"]),
+            "target": np.concatenate(cols["target"]),
+            "role": np.concatenate(cols["role"]),
+            "tile_x": np.concatenate(cols["tile_x"]),
+            "tile_y": np.concatenate(cols["tile_y"]),
+            "lat": np.concatenate(cols["lat"]),
+            "lon": np.concatenate(cols["lon"]),
+            "data": [b for block in cols["data"] for b in block]})
 
 
 def assemble_padded(z: np.ndarray, strips: dict[str, np.ndarray],

@@ -58,3 +58,57 @@ def test_hist_quantile_close_to_exact(spark):
         pd.DataFrame({"g": "c", "v": [7.5] * 10}), "g string, v double")
     outc = sketches.hist_quantile(dfc, ["g"], "v").toPandas().iloc[0]
     assert outc["est_q"] == 7.5
+
+
+def test_pq_encode_matches_numpy(spark):
+    """PQ assignment equals the numpy model of the same codebook rule,
+    rounded-distance argmin, and lowest-code tie-break."""
+    import numpy as np
+    import pandas as pd
+    from terraspark.datapipe.quantize import pq_encode
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    vecs[7] = vecs[1]                      # duplicate -> exercises ties
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(20),
+                      "embedding": [v.tolist() for v in vecs]}),
+        "vec_id long, embedding array<float>")
+    m, k, sub = 2, 4, 4
+    got = pq_encode(emb, m=m, k=k).toPandas() \
+        .set_index(["vec_id", "subspace"]).sort_index()
+
+    cb = vecs[:k].astype(np.float64)       # k lowest vec_ids
+    for vid in range(20):
+        x = vecs[vid].astype(np.float64)
+        for s in range(m):
+            xs = x[s * sub:(s + 1) * sub]
+            d2 = np.round(((cb[:, s * sub:(s + 1) * sub] - xs) ** 2)
+                          .sum(axis=1), 6)
+            code = int(np.argmin(d2))      # argmin takes lowest index
+            row = got.loc[(vid, s)]
+            assert row["code"] == code, (vid, s)
+            assert abs(row["err"] - d2[code]) < 1e-9
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+
+    import pandas as pd
+    from terraspark.datapipe.textstats import unigram_logprob
+
+    rows = [{"doc_id": 0, "text": "a a b"},
+            {"doc_id": 1, "text": "b c"},
+            {"doc_id": 2, "text": "a"}]
+    docs = spark.createDataFrame(pd.DataFrame(rows),
+                                 "doc_id long, text string")
+    got = unigram_logprob(docs).toPandas().set_index("doc_id")
+
+    freq = {"a": 3, "b": 2, "c": 1}
+    total = 6
+    for r in rows:
+        toks = r["text"].split(" ")
+        exp = round(sum(math.log10(freq[t] / total) for t in toks)
+                    / len(toks), 6)
+        assert got.loc[r["doc_id"], "n_toks"] == len(toks)
+        assert abs(got.loc[r["doc_id"], "avg_logp"] - exp) < 1e-9

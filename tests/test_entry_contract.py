@@ -84,3 +84,21 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert {"image_id", "band", "method", "n_valid", "mean_px"} <= \
         set(df.columns)
+
+
+def test_registry_fronts_unverdicted_queries():
+    """Every observed driver correctness sample is a prefix of the
+    registry, so queries still lacking a driver verdict must lead it;
+    every query must have an oracle entry or be a documented rows-only
+    op; and the oracle keys must be a subset of the registry."""
+    q = E.queries()
+    names = list(q)
+    assert names[:8] == [
+        "img_convolve", "img_morphology", "img_resample",
+        "img_hist_equalize", "img_psnr_audit", "img_knn_ring",
+        "img_reassemble", "dp_stream_window"]
+    o = E.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    # rows-only ops (no closed-form SQL) are the documented exceptions
+    rows_only = {n for n in q if n not in o}
+    assert rows_only <= {"img_stream_correct"}, sorted(rows_only)
