@@ -96,3 +96,114 @@ def pq_encode_sql(m: int = 8, k: int = 8, dim: int = 64,
         SELECT vec_id, subspace, code, err
         FROM best WHERE rn = 1
     """
+
+
+def pq_topk(embeddings: DataFrame, query_ids, m: int = 8,
+            k_codes: int = 8, k: int = 10) -> DataFrame:
+    """Approximate top-k neighbors by PQ asymmetric distance (ADC,
+    Jegou et al. 2011): per query, a LUT of squared distances from the
+    query's subvectors to every codebook entry (nq x m x k_codes rows --
+    driver/broadcast tiny) is joined to the corpus CODES (never the raw
+    vectors), and the approximate distance is the sum of m looked-up
+    cells.  The memory-scale ANN path: the scan side carries m small
+    ints per vector instead of the float vector.
+
+    Output (query_id, rank, neighbor_id, adist): adist = ROUND(sum, 6)
+    -- the addends are 6-dp multiples, so their sum sits ON the 6-dp
+    grid and rounding is boundary-free in both engines;
+    rank by (adist asc, neighbor_id asc), self excluded.  All distance
+    arithmetic is Spark-side with the same rounding the SQL oracle uses.
+    """
+    from pyspark.sql import Window
+
+    e = with_double_vec(embeddings).select("vec_id", "vec")
+    spark = embeddings.sparkSession
+    dim = len(e.select("vec").head()["vec"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seed_rows = e.orderBy("vec_id").limit(k_codes).collect()
+    cb_rows = [(s, j,
+                [float(x) for x in seed_rows[j]["vec"][s * sub:(s + 1) * sub]])
+               for s in range(m) for j in range(k_codes)]
+    cb = spark.createDataFrame(cb_rows,
+                               "subspace int, code int, cvec array<double>")
+
+    qdf = e.where(F.col("vec_id").isin(list(query_ids))) \
+        .select(F.col("vec_id").alias("query_id"), "vec")
+    qs = F.slice("vec", F.col("subspace") * sub + 1, sub)
+    d2 = F.aggregate(F.zip_with(qs, "cvec", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    lut = qdf.crossJoin(F.broadcast(cb)).select(
+        "query_id", "subspace", "code", F.round(d2, 6).alias("d2"))
+
+    codes = pq_encode(embeddings, m=m, k=k_codes) \
+        .select("vec_id", "subspace", "code")
+    scored = (codes.join(F.broadcast(lut), ["subspace", "code"])
+              .where(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", "vec_id")
+              .agg(F.round(F.sum("d2"), 6).alias("adist")))
+    order = [F.asc("adist"), F.asc("vec_id")]
+    w1 = Window.partitionBy("query_id",
+                            F.pmod(F.xxhash64("vec_id"), F.lit(16))) \
+        .orderBy(*order)
+    pruned = (scored.withColumn("r1", F.row_number().over(w1))
+              .where(F.col("r1") <= k).drop("r1"))
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (pruned.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank",
+                    F.col("vec_id").alias("neighbor_id"), "adist"))
+
+
+def pq_topk_sql(query_ids, m: int = 8, k_codes: int = 8, k: int = 10,
+                dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`pq_topk`: same codebook, same rounded
+    LUT, same ADC sum and (adist, neighbor_id) ranking."""
+    sub = dim // m
+    qids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM {table}),
+        cb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                      AS code, v
+               FROM e ORDER BY vec_id LIMIT {k_codes}),
+        ep AS (SELECT vec_id, UNNEST(v) AS x,
+                      generate_subscripts(v, 1) AS pos FROM e),
+        cp AS (SELECT code, UNNEST(v) AS c,
+                      generate_subscripts(v, 1) AS pos FROM cb),
+        d AS (
+            SELECT ep.vec_id, CAST((ep.pos - 1) // {sub} AS INT)
+                       AS subspace, cp.code,
+                   ROUND(SUM((ep.x - cp.c) * (ep.x - cp.c)), 6) AS err
+            FROM ep JOIN cp USING (pos)
+            GROUP BY ep.vec_id, (ep.pos - 1) // {sub}, cp.code),
+        best AS (
+            SELECT vec_id, subspace, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY err, code) rn
+            FROM d),
+        codes_raw AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, x, pos FROM ep
+               WHERE vec_id IN ({qids})),
+        lut AS (
+            SELECT qp.query_id, CAST((qp.pos - 1) // {sub} AS INT)
+                       AS subspace, cp.code,
+                   ROUND(SUM((qp.x - cp.c) * (qp.x - cp.c)), 6) AS d2
+            FROM qp JOIN cp USING (pos)
+            GROUP BY qp.query_id, (qp.pos - 1) // {sub}, cp.code),
+        summed AS (
+            SELECT l.query_id, cr.vec_id AS neighbor_id,
+                   ROUND(SUM(l.d2), 6) AS adist
+            FROM codes_raw cr
+            JOIN lut l ON l.subspace = cr.subspace AND l.code = cr.code
+            WHERE cr.vec_id <> l.query_id
+            GROUP BY l.query_id, cr.vec_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, adist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adist, neighbor_id) AS rank
+            FROM summed)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adist
+        FROM ranked WHERE rank <= {k}
+    """

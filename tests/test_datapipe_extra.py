@@ -112,3 +112,47 @@ def test_unigram_logprob_matches_python(spark):
                     / len(toks), 6)
         assert got.loc[r["doc_id"], "n_toks"] == len(toks)
         assert abs(got.loc[r["doc_id"], "avg_logp"] - exp) < 1e-9
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    """pq_topk equals the numpy model of ADC: per-subspace LUT of
+    rounded squared distances, summed over the corpus codes, ranked
+    (adist, neighbor_id)."""
+    import numpy as np
+    import pandas as pd
+    from terraspark.datapipe.quantize import pq_topk
+
+    rng = np.random.default_rng(11)
+    n, dim, m, kc, k = 40, 8, 2, 4, 5
+    sub = dim // m
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n),
+                      "embedding": [v.tolist() for v in vecs]}),
+        "vec_id long, embedding array<float>")
+    queries = [0, 5]
+    got = pq_topk(emb, queries, m=m, k_codes=kc, k=k).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    cb = vecs[:kc].astype(np.float64)
+    v64 = vecs.astype(np.float64)
+    # codes: rounded-distance argmin per subspace (lowest code on ties)
+    codes = np.zeros((n, m), dtype=int)
+    for s in range(m):
+        d2 = np.round(
+            ((v64[:, None, s * sub:(s + 1) * sub]
+              - cb[None, :, s * sub:(s + 1) * sub]) ** 2).sum(axis=2), 6)
+        codes[:, s] = d2.argmin(axis=1)
+    for qid in queries:
+        lut = np.zeros((m, kc))
+        for s in range(m):
+            lut[s] = np.round(
+                ((cb[:, s * sub:(s + 1) * sub]
+                  - v64[qid, s * sub:(s + 1) * sub]) ** 2).sum(axis=1), 6)
+        adist = {v: round(sum(lut[s, codes[v, s]] for s in range(m)), 6)
+                 for v in range(n) if v != qid}
+        exp = sorted(adist.items(), key=lambda t: (t[1], t[0]))[:k]
+        sel = got[got["query_id"] == qid]
+        assert sel["neighbor_id"].tolist() == [v for v, _ in exp]
+        for (v, d), gd in zip(exp, sel["adist"]):
+            assert abs(gd - d) < 1e-9, (qid, v)
