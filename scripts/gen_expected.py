@@ -256,6 +256,11 @@ def main():
             })
     pd.DataFrame(trows).to_parquet(f"{OUT}/expected_typed_roundtrip.parquet",
                                    index=False)
+    # polyfill INPUT fixture: the aoi polygons (WKT) -- the img_polyfill
+    # oracle recomputes the cover from these in pure SQL, so only the
+    # INPUT is committed, not the expectation
+    aoi[["aoi_id", "polygon"]].to_parquet(f"{OUT}/aoi_polygons.parquet",
+                                          index=False)
     print("wrote expected tables to", OUT)
 
 
