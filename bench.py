@@ -159,9 +159,10 @@ def run_datapipe(spark, sf_dir: str) -> dict:
     qs = E.queries()
     picks = ["dp_dedup_exact", "dp_simhash", "dp_fingerprint", "dp_ann_topk",
              "dp_srp_neardup", "dp_frame_sample", "dp_dedup_clusters",
-             "dp_decontaminate",
+             "dp_decontaminate", "dp_pq_encode", "dp_ann_pq", "dp_lm_score",
              "rel_tpch_q1", "rel_rose_means", "rel_stats_bundle",
-             "rel_rank_topk", "rel_broadcast_join_agg", "rel_asof_join"]
+             "rel_rank_topk", "rel_broadcast_join_agg", "rel_asof_join",
+             "rel_json_extract"]
     from pyspark.sql import functions as F
     out = {}
     for name in picks:
