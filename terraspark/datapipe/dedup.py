@@ -318,3 +318,65 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
     hits = word_ngram_hashes(corpus, n).join(F.broadcast(ev), "h")
     return hits.groupBy("doc_id").agg(
         F.count_distinct("h").cast("long").alias("n_hits"))
+
+
+def paragraph_chunks(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
+    """(doc_id, grp, para): the document split into fixed
+    ``chunk_words``-word paragraphs (grp = 0-based chunk index).
+
+    The fixture corpus has no newline structure, so the paragraph
+    boundary is a fixed word count; with natural text the only change
+    is the split expression (``split(text, '\\n\\n')``) -- every
+    downstream stage (hashing, argmin, reassembly) is boundary-agnostic.
+    Chunking is a JVM higher-order-function chain (split -> sequence ->
+    slice -> array_join) inlined per row: the text never round-trips
+    through Python and only leaves the row already cut into paragraph
+    strings."""
+    cw = int(chunk_words)
+    w = spread_input(docs).select("doc_id", F.split("text", " ").alias("w"))
+    return w.select(
+        "doc_id",
+        F.expr(
+            f"inline(transform(sequence(0, int(ceil(size(w) / {cw}.0)) - 1), "
+            f"g -> struct(g as grp, "
+            f"array_join(slice(w, g * {cw} + 1, {cw}), ' ') as para)))"))
+
+
+def paragraph_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
+    """Paragraph-level exact dedup with first-occurrence retention and
+    document reassembly (the repeated-boilerplate removal pass of
+    RefinedWeb / CCNet-style corpus pipelines, one level below the
+    doc-level ``exact_stats``).
+
+    Every paragraph keeps exactly its globally-first occurrence, ordered
+    by (doc_id, grp); later copies are dropped and each document is
+    re-assembled from its surviving paragraphs in original order.
+
+    Returns (doc_id, n_paras, n_kept, kept_md5) -- kept_md5 is the md5
+    of the re-assembled text (NULL when every paragraph was a later
+    duplicate), so the oracle cross-checks the reassembly byte-for-byte,
+    not just the counts.
+
+    Scale shape: text is cut row-local (paragraph_chunks); the
+    first-occurrence argmin is ONE map-side-combinable groupBy on the
+    md5 key carrying only a packed (doc_id, grp) struct -- never the
+    paragraph text; the winner set joins back on the hash; reassembly
+    is a per-doc groupBy whose array_sort runs on (grp, para) of the
+    KEPT rows only.  No stage is quadratic and no driver collect."""
+    keyed = paragraph_chunks(docs, chunk_words).withColumn("h", F.md5("para"))
+    first = keyed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "grp")).alias("f"))
+    kept = (keyed.join(first, "h")
+            .where((F.col("doc_id") == F.col("f.doc_id"))
+                   & (F.col("grp") == F.col("f.grp")))
+            .select("doc_id", "grp", "para"))
+    totals = keyed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.expr("md5(array_join(transform(array_sort(collect_list("
+               "struct(grp, para))), s -> s.para), ' '))").alias("kept_md5"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"), "kept_md5"))

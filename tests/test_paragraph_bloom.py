@@ -1,0 +1,90 @@
+"""Paragraph-level dedup (first-occurrence retention + reassembly) and
+Bloom-filter join pruning semantics."""
+import pytest
+from pyspark.sql import functions as F
+
+from terraspark.datapipe import bloom, dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------ paragraph
+def test_paragraph_first_occurrence_and_reassembly(spark):
+    # doc 1 chunk "a b c" (words 0-9 with cw=3? use cw=3 for readability)
+    # chunks of 3 words: doc1 = [x y z][p q r], doc2 = [p q r][u v w]
+    # "p q r" first occurs in doc1 grp1 -> doc2 keeps only [u v w].
+    rows = [(1, "x y z p q r"), (2, "p q r u v w")]
+    out = {r["doc_id"]: r for r in
+           dedup.paragraph_dedup(_docs(spark, rows), chunk_words=3)
+           .collect()}
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    import hashlib
+    assert out[1]["kept_md5"] == hashlib.md5(b"x y z p q r").hexdigest()
+    assert out[2]["kept_md5"] == hashlib.md5(b"u v w").hexdigest()
+
+
+def test_paragraph_fully_duplicate_doc_keeps_nothing(spark):
+    rows = [(1, "a b c"), (2, "a b c")]
+    out = {r["doc_id"]: r for r in
+           dedup.paragraph_dedup(_docs(spark, rows), chunk_words=3)
+           .collect()}
+    assert out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == 0 and out[2]["kept_md5"] is None
+
+
+def test_paragraph_within_doc_repeat_kept_once(spark):
+    # the SAME chunk repeated inside one doc: only its first grp survives
+    rows = [(5, "a b c a b c d e f")]
+    out = dedup.paragraph_dedup(_docs(spark, rows), chunk_words=3).collect()
+    assert out[0]["n_paras"] == 3 and out[0]["n_kept"] == 2
+    import hashlib
+    assert out[0]["kept_md5"] == hashlib.md5(b"a b c d e f").hexdigest()
+
+
+def test_paragraph_short_tail_chunk(spark):
+    rows = [(1, "a b c d")]          # cw=3 -> [a b c][d]
+    out = dedup.paragraph_dedup(_docs(spark, rows), chunk_words=3).collect()
+    assert out[0]["n_paras"] == 2 and out[0]["n_kept"] == 2
+
+
+# ----------------------------------------------------------------- bloom
+@pytest.fixture(scope="module")
+def bloom_tables(spark):
+    build = spark.createDataFrame(
+        [(k,) for k in range(0, 2000, 2)], "key int")       # even keys
+    probe = spark.createDataFrame(
+        [(k, k % 7) for k in range(3000)], "key int, grp int")
+    return build, probe
+
+
+def test_bloom_no_false_negatives(spark, bloom_tables):
+    build, probe = bloom_tables
+    bits = bloom.build_filter(build, "key")
+    kept = set(r["key"] for r in
+               bloom.prune(probe, "key", bits).select("key").collect())
+    truth = set(range(0, 2000, 2))
+    assert truth <= kept                     # every true key passes
+
+
+def test_bloom_audit_counts_consistent(spark, bloom_tables):
+    build, probe = bloom_tables
+    audit = bloom.prune_audit(probe, "key", build, "key", "grp").collect()
+    assert len(audit) == 7
+    for r in audit:
+        assert r["n_pass"] >= r["n_true"]
+        assert r["n_false_pos"] == r["n_pass"] - r["n_true"]
+        assert r["n_probe"] >= r["n_pass"]
+    # totals: every even key < 2000 is true
+    assert sum(r["n_true"] for r in audit) == 1000
+
+
+def test_bloom_bitset_is_bounded_and_broadcast(spark, bloom_tables):
+    build, probe = bloom_tables
+    bits = bloom.build_filter(build, "key")
+    assert bits.count() <= 3 * bloom.DEFAULT_M
+    plan = bloom.prune(probe, "key", bits)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
