@@ -417,3 +417,40 @@ def hist_equalize_summary(tiles: DataFrame, bins: int = 256) -> DataFrame:
         "image_id", "band", F.col("n_px").cast("long").alias("n_px"),
         F.round(mean, 4).alias("mean_eq"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("std_eq"))
+
+
+def zonal_stats(cell_base, cover, round_to: int = 4):
+    """Per-polygon zonal statistics (the raster-calculator "zonal stats"
+    surface the reference approximates with per-group masks,
+    /root/reference/processing_alg/topocorrection_eval/eval.py:134-179 --
+    here the zones are true polygons resolved through the cell index).
+
+    cell_base: (cell, band, n, s, ss, vmin, vmax) mergeable partials
+    (sinks.cell_partials); cover: (aoi_id, cell) polygon cell cover
+    (joins.polyfill -- i.e. geometry computed engine-side from WKT).
+
+    One broadcast join (the cover is tiny next to the raster: thousands
+    of cells vs billions of pixels) + one map-side-combinable groupBy of
+    already-reduced partials -- the pixel data is never re-scanned, so
+    zonal stats over any number of polygon layers reuse the same base
+    partials.  Cells with no raster coverage simply don't join (the
+    reference's NaN-group filter, eval.py:137); n_cells counts covered
+    cells with data.
+    """
+    j = cell_base.join(F.broadcast(cover), "cell")
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    return (j.groupBy("aoi_id", "band")
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.sum("n").cast("long").alias("n_px"),
+                 F.sum("s").alias("s"), F.sum("ss").alias("ss"),
+                 F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"))
+            .select("aoi_id", "band", "n_cells", "n_px",
+                    F.round(F.col("s") / F.col("n_px"), round_to)
+                    .alias("mean"),
+                    F.round(F.sqrt(F.greatest(
+                        F.col("ss") / F.col("n_px")
+                        - (F.col("s") / F.col("n_px")) ** 2,
+                        F.lit(0.0))), round_to).alias("std"),
+                    F.round("vmin", round_to).alias("vmin"),
+                    F.round("vmax", round_to).alias("vmax")))

@@ -170,3 +170,33 @@ def test_hist_equalize_matches_per_pixel_path(spark):
     assert got["n_px"] == len(vals)
     assert abs(got["mean_eq"] - eq.mean()) < 1e-3
     assert abs(got["std_eq"] - eq.std()) < 1e-3
+
+
+def test_zonal_stats_hand_case(spark):
+    import math
+    base = spark.createDataFrame(
+        [(100, 0, 2, 4.0, 10.0, 1.0, 3.0),
+         (101, 0, 2, 8.0, 34.0, 3.0, 5.0),
+         (102, 0, 5, 50.0, 520.0, 8.0, 12.0)],   # cell outside any zone
+        "cell long, band int, n long, s double, ss double, "
+        "vmin double, vmax double")
+    cover = spark.createDataFrame([(1, 100), (1, 101)],
+                                  "aoi_id int, cell long")
+    out = tmetrics.zonal_stats(base, cover).collect()
+    assert len(out) == 1                        # uncovered cell dropped
+    r = out[0]
+    assert (r["aoi_id"], r["band"], r["n_cells"], r["n_px"]) == (1, 0, 2, 4)
+    assert r["mean"] == 3.0
+    assert r["std"] == round(math.sqrt(44.0 / 4 - 9.0), 4)
+    assert (r["vmin"], r["vmax"]) == (1.0, 5.0)
+
+
+def test_zonal_stats_broadcasts_cover(spark):
+    base = spark.createDataFrame(
+        [(100, 0, 2, 4.0, 10.0, 1.0, 3.0)],
+        "cell long, band int, n long, s double, ss double, "
+        "vmin double, vmax double")
+    cover = spark.createDataFrame([(1, 100)], "aoi_id int, cell long")
+    plan = tmetrics.zonal_stats(base, cover)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
