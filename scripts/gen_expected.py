@@ -89,6 +89,19 @@ def main():
     oracle.expected_cell_base().to_parquet(
         f"{OUT}/expected_cell_base.parquet", index=False)
 
+    # full-precision per-cell DEM elevation means (D8 flow routing
+    # oracle base): same <f4 quantization + f64 widening + pairwise
+    # mean as the dem table bytes the engine decodes, so engine and
+    # model agree bit-for-bit
+    drows = []
+    for _, r in dem.iterrows():
+        block = np.frombuffer(r["elev"], dtype="<f4") \
+            .reshape(1, -1).astype(np.float64)
+        drows.append({"dem_id": r["dem_id"], "cell": int(r["cell"]),
+                      "elev": float(block.mean(axis=1)[0])})
+    pd.DataFrame(drows).to_parquet(
+        f"{OUT}/expected_dem_cells.parquet", index=False)
+
     # thumbnails / captions / phash (decode-level expectations)
     rows = []
     for _, r in images.iterrows():

@@ -1,0 +1,108 @@
+"""D8 flow routing over the cell index: per-cell steepest-descent flow
+direction + inflow degree, the first step of every DEM hydrology stack
+(flow accumulation, watershed labeling, stream extraction).
+
+The reference ships DEM analytics only as slope/aspect inputs to the
+corrections (/root/reference/processing_alg/execution_context.py:200-247);
+flow routing is the natural next operator over the same cell-indexed DEM
+and exercises a different distributed shape: an 8-neighbor self-equi-join
+on cell keys generated map-side (the join form of the halo exchange used
+by the pixel kernels -- no Arrow padding needed because the unit is the
+per-cell aggregate, not the pixel block).
+
+Scale: the per-cell elevation table is pixels/TILE^2 rows of three narrow
+columns -- at 100 TB of rasters that is ~10^7 rows, a small shuffle; the
+neighbor join is an equi-join on (dem_id, cell) so it hash-partitions
+evenly (no skew: every cell has exactly 8 candidates), and the inflow
+count is one map-side-combinable groupBy.
+
+Direction semantics (grid-index deltas; ilat +1 = north, ilon +1 = east):
+dir 0..7 = E, NE, N, NW, W, SW, S, SE; dist = sqrt(2) on diagonals; the
+chosen direction maximizes drop = (elev - elev_neighbor) / dist over
+neighbors with drop > 0; ties break to the LOWEST dir index; cells with
+no positive drop (pits, plateaus, region borders falling off the grid)
+get flow_dir = -1.  Neighbors that leave the DEM region simply find no
+row to join -- identical arithmetic on the oracle side.
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cells import _LON_BITS
+from .config import TILE
+
+#              dir  dlat dlon dist
+D8 = [(0, 0, 1, 1.0),
+      (1, 1, 1, math.sqrt(2.0)),
+      (2, 1, 0, 1.0),
+      (3, 1, -1, math.sqrt(2.0)),
+      (4, 0, -1, 1.0),
+      (5, -1, -1, math.sqrt(2.0)),
+      (6, -1, 0, 1.0),
+      (7, -1, 1, math.sqrt(2.0))]
+
+
+def cell_elevation(dem: DataFrame, tile: int = TILE) -> DataFrame:
+    """(dem_id, cell, elev): mean elevation of each cell's DEM block.
+
+    One Arrow batch -> one reshape -> one axis-1 pairwise mean; the
+    float32 block is widened to float64 exactly like the numpy reference
+    model, so the means agree bit-for-bit."""
+    n = tile * tile
+
+    def mean_elev(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.frombuffer(b"".join(pdf["elev"].tolist()), dtype="<f4") \
+                .reshape(len(pdf), n).astype(np.float64)
+            yield pd.DataFrame({"dem_id": pdf["dem_id"], "cell": pdf["cell"],
+                                "elev": a.mean(axis=1)})
+
+    return dem.select("dem_id", "cell", "elev").mapInPandas(
+        mean_elev, schema="dem_id string, cell long, elev double")
+
+
+def flow_direction(elev: DataFrame) -> DataFrame:
+    """(dem_id, cell, flow_dir, drop, n_inflow) D8 routing over cell
+    elevations -- see module docstring for the exact semantics."""
+    step = 1 << _LON_BITS
+    dirs = ", ".join(
+        f"struct({d} as dir, {dla}L as dlat, {dlo}L as dlon, "
+        f"{repr(dist)}D as dist)"
+        for d, dla, dlo, dist in D8)
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.expr(f"inline(array({dirs}))"))
+           .withColumn("target", F.col("cell") + F.col("dlat") * F.lit(step)
+                       + F.col("dlon")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    j = nbr.join(other, ["dem_id", "target"])
+    drop = (F.col("elev") - F.col("nelev")) / F.col("dist")
+    cand = (j.where(drop > 0)
+            .select("dem_id", "cell",
+                    F.struct(drop.alias("drop"),
+                             (-F.col("dir")).alias("nd"),
+                             F.col("dir").alias("dir"),
+                             F.col("target").alias("target")).alias("c")))
+    pick = (cand.groupBy("dem_id", "cell").agg(F.max("c").alias("c"))
+            .select("dem_id", "cell", F.col("c.dir").alias("flow_dir"),
+                    F.col("c.drop").alias("drop"),
+                    F.col("c.target").alias("target")))
+    inflow = pick.groupBy("dem_id", F.col("target").alias("cell")) \
+        .agg(F.count("*").cast("long").alias("n_inflow"))
+    return (elev.join(pick.select("dem_id", "cell", "flow_dir", "drop"),
+                      ["dem_id", "cell"], "left")
+            .join(inflow, ["dem_id", "cell"], "left")
+            .select("dem_id", "cell",
+                    F.coalesce("flow_dir", F.lit(-1)).cast("int")
+                    .alias("flow_dir"),
+                    F.round(F.coalesce("drop", F.lit(0.0)), 6).alias("drop"),
+                    F.coalesce("n_inflow", F.lit(0)).cast("long")
+                    .alias("n_inflow")))

@@ -1,0 +1,67 @@
+"""D8 flow routing semantics (terraspark.hydro) on a hand grid."""
+import numpy as np
+
+from terraspark import cells, hydro
+from terraspark.config import TILE
+
+
+def _elev_df(spark, rows):
+    return spark.createDataFrame(rows, "dem_id string, cell long, elev double")
+
+
+def _key(ilat, ilon, res=7):
+    return int((res << 56) | (ilat << 28) | ilon)
+
+
+def test_flow_direction_hand_grid(spark):
+    # 3x3 grid, center highest -> all neighbors downhill from center;
+    # corner (0,0) lowest -> pit.  ilat +1 = north.
+    #   elev layout (ilat 2 top):   5  6  7
+    #                               4  9  8
+    #                               1  2  3
+    grid = {(2, 0): 5.0, (2, 1): 6.0, (2, 2): 7.0,
+            (1, 0): 4.0, (1, 1): 9.0, (1, 2): 8.0,
+            (0, 0): 1.0, (0, 1): 2.0, (0, 2): 3.0}
+    rows = [("d", _key(la, lo), v) for (la, lo), v in grid.items()]
+    out = {r["cell"]: r for r in
+           hydro.flow_direction(_elev_df(spark, rows)).collect()}
+
+    # pit: (0,0) has no lower neighbor
+    assert out[_key(0, 0)]["flow_dir"] == -1
+    assert out[_key(0, 0)]["drop"] == 0.0
+    # center (1,1)=9: steepest drop is to (0,0)=1: diag drop 8/sqrt2=5.657
+    # vs S (0,1)=2 drop 7.0 -> S wins (dir 6 is N... check deltas):
+    # dir 5 = (-1,-1) toward (0,0): 8/sqrt2 = 5.657; dir 6 = (-1,0)
+    # toward (0,1): drop 7.0 -> dir 6.
+    assert out[_key(1, 1)]["flow_dir"] == 6
+    assert abs(out[_key(1, 1)]["drop"] - 7.0) < 1e-9
+    # (0,1)=2 flows W to the pit (drop 1.0) vs SW none; W = dir 4
+    assert out[_key(0, 1)]["flow_dir"] == 4
+    # inflow: the pit receives from (0,1) W-flow, (1,0) S-flow(4->1 drop 3
+    # vs SE (0,1)... compute: (1,0)=4: S (0,0)=1 drop 3.0 dir 6; E (1,1)=9
+    # no; SE (0,1)=2 drop 2/sqrt2; -> dir 6 into pit), and (1,1) goes to
+    # (0,1) not the pit.
+    assert out[_key(1, 0)]["flow_dir"] == 6
+    assert out[_key(0, 0)]["n_inflow"] == 2
+
+
+def test_flow_direction_tie_breaks_to_lowest_dir(spark):
+    # two equal drops: E and W both 1.0 lower -> dir 0 (E) wins
+    rows = [("d", _key(5, 5), 10.0),
+            ("d", _key(5, 6), 9.0),
+            ("d", _key(5, 4), 9.0)]
+    out = {r["cell"]: r for r in
+           hydro.flow_direction(_elev_df(spark, rows)).collect()}
+    assert out[_key(5, 5)]["flow_dir"] == 0
+
+
+def test_cell_elevation_matches_numpy(spark, fixture_tables):
+    _, _, dem, _, _, _ = fixture_tables
+    from terraspark.fixtures import DEM_SCHEMA, to_spark
+    got = {(r["dem_id"], r["cell"]): r["elev"]
+           for r in hydro.cell_elevation(
+               to_spark(spark, dem, DEM_SCHEMA)).collect()}
+    for _, r in dem.iloc[:20].iterrows():
+        exp = np.frombuffer(r["elev"], dtype="<f4") \
+            .reshape(1, -1).astype(np.float64).mean(axis=1)[0]
+        assert got[(r["dem_id"], int(r["cell"]))] == exp  # bit-equal
