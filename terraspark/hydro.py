@@ -106,3 +106,54 @@ def flow_direction(elev: DataFrame) -> DataFrame:
                     F.round(F.coalesce("drop", F.lit(0.0)), 6).alias("drop"),
                     F.coalesce("n_inflow", F.lit(0)).cast("long")
                     .alias("n_inflow")))
+
+
+def flow_accumulation(flow: DataFrame, max_iter: int = 64) -> DataFrame:
+    """(dem_id, cell, acc): D8 flow accumulation -- the number of cells
+    (including itself) whose drainage path passes through each cell; the
+    operator behind stream extraction and drainage-area thresholds.
+
+    flow: (dem_id, cell, flow_dir, ...) from :func:`flow_direction`;
+    the flow graph is a functional forest (each cell drains to at most
+    one neighbor), so accumulation is the fixpoint of
+
+        acc[c] = 1 + sum(acc[u] for u draining into c)
+
+    reached after depth(longest flow path) rounds.  Each round is one
+    equi-join + one map-side-combinable sum over a (dem_id, cell, acc)
+    table of three narrow columns -- the PageRank shape, localCheckpoint
+    per round to keep lineage flat; convergence is detected by an
+    acc-table equality count, so max_iter is a backstop, not a tuning
+    knob.  At 100 TB the round count is bounded by terrain path length
+    (hundreds), not data size; a pointer-doubling variant trades
+    O(depth) rounds for O(log depth) at 2x traffic per round if that
+    ever dominates."""
+    step = 1 << _LON_BITS
+    dirs = {d: (dla, dlo) for d, dla, dlo, _ in D8}
+    target = F.col("cell") + sum(
+        F.when(F.col("flow_dir") == d, F.lit(dla * step + dlo))
+        .otherwise(F.lit(0)) for d, (dla, dlo) in dirs.items())
+    edges = (flow.where(F.col("flow_dir") >= 0)
+             .select("dem_id", F.col("cell").alias("src"),
+                     target.alias("dst"))
+             .localCheckpoint())
+    base = flow.select("dem_id", "cell").localCheckpoint()
+    acc = base.withColumn("acc", F.lit(1).cast("long"))
+    for _ in range(max_iter):
+        inflow = (edges.join(
+            acc.select("dem_id", F.col("cell").alias("src"),
+                       F.col("acc").alias("up")), ["dem_id", "src"])
+            .groupBy("dem_id", F.col("dst").alias("cell"))
+            .agg(F.sum("up").alias("inn")))
+        new = (base.join(inflow, ["dem_id", "cell"], "left")
+               .select("dem_id", "cell",
+                       (F.lit(1) + F.coalesce("inn", F.lit(0)))
+                       .cast("long").alias("acc"))
+               .localCheckpoint())
+        changed = (new.join(acc.withColumnRenamed("acc", "old"),
+                            ["dem_id", "cell"])
+                   .where(F.col("acc") != F.col("old")).count())
+        acc = new
+        if changed == 0:
+            break
+    return acc

@@ -65,3 +65,30 @@ def test_cell_elevation_matches_numpy(spark, fixture_tables):
         exp = np.frombuffer(r["elev"], dtype="<f4") \
             .reshape(1, -1).astype(np.float64).mean(axis=1)[0]
         assert got[(r["dem_id"], int(r["cell"]))] == exp  # bit-equal
+
+
+def test_flow_accumulation_hand_grid(spark):
+    grid = {(2, 0): 5.0, (2, 1): 6.0, (2, 2): 7.0,
+            (1, 0): 4.0, (1, 1): 9.0, (1, 2): 8.0,
+            (0, 0): 1.0, (0, 1): 2.0, (0, 2): 3.0}
+    rows = [("d", _key(la, lo), v) for (la, lo), v in grid.items()]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    acc = {r["cell"]: r["acc"]
+           for r in hydro.flow_accumulation(flow).collect()}
+    # drainage tree: (2,2)->(2,1)->(1,0)<-(2,0); (1,2)->(0,2)->(0,1)
+    # <-(1,1); (1,0),(0,1)->(0,0)
+    assert acc[_key(2, 2)] == 1 and acc[_key(2, 1)] == 2
+    assert acc[_key(1, 0)] == 4
+    assert acc[_key(0, 1)] == 4
+    assert acc[_key(0, 0)] == 9          # the pit drains everything
+    assert sum(1 for v in acc.values()) == 9
+
+
+def test_flow_accumulation_converges_early(spark):
+    # a single chain of depth 3 must converge in <= 4 rounds (backstop
+    # max_iter far above) and produce exact path counts
+    rows = [("d", _key(0, i), float(10 - i)) for i in range(4)]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    acc = {r["cell"]: r["acc"]
+           for r in hydro.flow_accumulation(flow, max_iter=10).collect()}
+    assert [acc[_key(0, i)] for i in range(4)] == [1, 2, 3, 4]
