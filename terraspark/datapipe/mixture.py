@@ -1,0 +1,58 @@
+"""Dataset mixture reweighting: temperature-flattened source weights +
+deterministic per-doc subsampling (the data-mixing stage of large-corpus
+training pipelines -- upweight small high-quality sources, downweight
+the dominant crawl, decide per-document inclusion reproducibly).
+
+Weights follow the standard temperature rule w_s = n_s^alpha / sum_t
+n_t^alpha (alpha < 1 flattens the source distribution); each source then
+gets sampling probability p_s = min(1, rate * N * w_s / n_s), and a
+document is kept iff its deterministic MINSTD draw
+(48271 * doc_id + 11) mod (2^31 - 1) falls below floor(p_s * (2^31-1)).
+Every decision is a pure function of (doc_id, per-source counts), so
+reruns, resumes and the SQL oracle agree row-for-row -- no RNG state.
+
+Scale shape: two tiny aggregates (per-source counts -> a one-row total),
+one broadcast join of the per-source weight table back onto the corpus,
+and a map-side-combinable count; the corpus is scanned once and never
+shuffled.  alpha is fixed at 0.5 here so the weight uses sqrt(), which
+is IEEE-correctly-rounded in both engines; other alphas would go
+through pow() whose last ulp is not portable.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LCG_A = 48_271               # MINSTD
+LCG_B = 11
+LCG_P = 2_147_483_647
+
+
+def temperature_mixture(docs: DataFrame, source_col: str = "source",
+                        id_col: str = "doc_id",
+                        rate: float = 0.5) -> DataFrame:
+    """(source, n_docs, n_sampled, weight, p_sample) -- see module doc."""
+    counts = docs.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("double").alias("N"),
+                     F.sum(F.sqrt(F.col("n_docs").cast("double")))
+                     .alias("denom"))
+    w = (counts.crossJoin(F.broadcast(tot))
+         .withColumn("weight",
+                     F.sqrt(F.col("n_docs").cast("double")) / F.col("denom"))
+         .withColumn("p", F.least(
+             F.lit(1.0),
+             F.lit(rate) * F.col("N") * F.col("weight") / F.col("n_docs"))))
+    draw = (F.lit(LCG_A) * F.col(id_col) + F.lit(LCG_B)) % F.lit(LCG_P)
+    thresh = F.floor(F.col("p") * F.lit(LCG_P)).cast("long")
+    sampled = (docs.select(source_col, F.col(id_col))
+               .join(F.broadcast(w.select(source_col, "p")), source_col)
+               .where(draw < thresh)
+               .groupBy(source_col)
+               .agg(F.count("*").cast("long").alias("n_sampled")))
+    return (w.join(sampled, source_col, "left")
+            .select(source_col, "n_docs",
+                    F.coalesce("n_sampled", F.lit(0)).cast("long")
+                    .alias("n_sampled"),
+                    F.round("weight", 6).alias("weight"),
+                    F.round("p", 6).alias("p_sample")))

@@ -92,3 +92,28 @@ def test_flow_accumulation_converges_early(spark):
     acc = {r["cell"]: r["acc"]
            for r in hydro.flow_accumulation(flow, max_iter=10).collect()}
     assert [acc[_key(0, i)] for i in range(4)] == [1, 2, 3, 4]
+
+
+def test_watershed_single_pit(spark):
+    grid = {(2, 0): 5.0, (2, 1): 6.0, (2, 2): 7.0,
+            (1, 0): 4.0, (1, 1): 9.0, (1, 2): 8.0,
+            (0, 0): 1.0, (0, 1): 2.0, (0, 2): 3.0}
+    rows = [("d", _key(la, lo), v) for (la, lo), v in grid.items()]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    out = hydro.watershed(flow).collect()
+    assert len(out) == 9
+    assert all(r["basin"] == _key(0, 0) for r in out)
+    assert all(r["basin_size"] == 9 for r in out)
+
+
+def test_watershed_two_basins(spark):
+    # 1x6 ridge: 1 2 3 | 3 2 1 -> two pits at the ends
+    elevs = [1.0, 2.0, 3.0, 3.0, 2.0, 1.0]
+    rows = [("d", _key(0, i), e) for i, e in enumerate(elevs)]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    out = {r["cell"]: r for r in hydro.watershed(flow).collect()}
+    for i in range(3):
+        assert out[_key(0, i)]["basin"] == _key(0, 0)
+    for i in range(3, 6):
+        assert out[_key(0, i)]["basin"] == _key(0, 5)
+    assert all(r["basin_size"] == 3 for r in out.values())

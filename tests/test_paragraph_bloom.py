@@ -88,3 +88,38 @@ def test_bloom_bitset_is_bounded_and_broadcast(spark, bloom_tables):
     plan = bloom.prune(probe, "key", bits)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------- mixture
+def test_temperature_mixture_upweights_small_source(spark):
+    import math
+    from terraspark.datapipe import mixture
+    rows = [(i, "big" if i < 8 else "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in
+           mixture.temperature_mixture(docs).collect()}
+    assert out["big"]["n_docs"] == 8 and out["small"]["n_docs"] == 2
+    # identical IEEE arithmetic as the engine/oracle formula
+    denom = math.sqrt(8.0) + math.sqrt(2.0)
+    for src, n in (("big", 8), ("small", 2)):
+        w = math.sqrt(float(n)) / denom
+        p = min(1.0, 0.5 * 10.0 * w / n)
+        assert out[src]["weight"] == round(w, 6)
+        assert out[src]["p_sample"] == round(p, 6)
+        exp = sum(1 for i in range(10)
+                  if rows[i][1] == src
+                  and (48271 * i + 11) % 2147483647
+                  < math.floor(p * 2147483647))
+        assert out[src]["n_sampled"] == exp
+    # temperature upweights the small source's per-doc probability
+    assert out["small"]["p_sample"] > out["big"]["p_sample"]
+
+
+def test_temperature_mixture_caps_p_at_one(spark):
+    from terraspark.datapipe import mixture
+    rows = [(i, "big" if i < 97 else "tiny") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in
+           mixture.temperature_mixture(docs).collect()}
+    assert out["tiny"]["p_sample"] == 1.0       # capped
+    assert out["tiny"]["n_sampled"] == 3        # all kept
