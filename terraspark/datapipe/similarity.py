@@ -333,3 +333,40 @@ def ivf_topk(embeddings: DataFrame, query_ids: list, k: int = 5,
     scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
                           cos.alias("cos"))
     return _topk_per_query(scored, k)
+
+
+def hard_negatives(embeddings: DataFrame, query_ids: list) -> DataFrame:
+    """Contrastive pair mining: for each query vector, the most-similar
+    SAME-label vector (the positive) and the most-similar DIFFERENT-
+    label vector (the hard negative), plus their margin -- the pair
+    selection stage of contrastive/metric-learning data pipelines,
+    where hard negatives (high-similarity wrong-label items) carry most
+    of the training signal.
+
+    Argmax runs on the 6-dp ROUNDED cosine with vec_id ascending as the
+    tie-break (the pq_encode convention), so engine and SQL oracle pick
+    identical winners even at float boundaries.  Shape: queries
+    broadcast, corpus scanned once, ONE groupBy with two conditional
+    struct-max aggregates (map-side combinable) -- no window over the
+    full corpus, no second scan."""
+    e = with_double_vec(embeddings)
+    q = e.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"))
+    pairs = e.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("vec"), F.col("qvec"))
+                  / (_norm(F.col("vec")) * _norm(F.col("qvec"))), 6)
+    scored = pairs.select(
+        "query_id", "qlabel",
+        (F.col("label") == F.col("qlabel")).alias("same"),
+        F.struct(cos.alias("cos"), (-F.col("vec_id")).alias("nid"),
+                 F.col("vec_id").alias("id")).alias("c"))
+    best = scored.groupBy("query_id", "qlabel").agg(
+        F.max(F.when(F.col("same"), F.col("c"))).alias("p"),
+        F.max(F.when(~F.col("same"), F.col("c"))).alias("n"))
+    return best.select(
+        "query_id", F.col("qlabel").alias("label"),
+        F.col("p.id").alias("pos_id"), F.col("p.cos").alias("pos_cos"),
+        F.col("n.id").alias("neg_id"), F.col("n.cos").alias("neg_cos"),
+        F.round(F.col("p.cos") - F.col("n.cos"), 6).alias("margin"))

@@ -156,3 +156,39 @@ def test_pq_topk_matches_numpy_adc(spark):
         assert sel["neighbor_id"].tolist() == [v for v, _ in exp]
         for (v, d), gd in zip(exp, sel["adist"]):
             assert abs(gd - d) < 1e-9, (qid, v)
+
+
+def test_hard_negatives_hand_case(spark):
+    from terraspark.datapipe import similarity
+    # query 0 (label A): same-label 1 is closer than 2; different-label
+    # 3 is nearly parallel (the hard negative), 4 is orthogonal.
+    rows = [
+        (0, [1.0, 0.0, 0.0], "A"),
+        (1, [0.9, 0.1, 0.0], "A"),       # positive (cos ~ .9938)
+        (2, [0.0, 1.0, 0.0], "A"),       # far same-label
+        (3, [0.98, 0.0, 0.2], "B"),      # hard negative (cos ~ .98)
+        (4, [0.0, 0.0, 1.0], "B"),       # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    out = {r["query_id"]: r
+           for r in similarity.hard_negatives(df, [0]).collect()}
+    r = out[0]
+    assert r["pos_id"] == 1 and r["neg_id"] == 3
+    assert r["pos_cos"] > 0.99 and 0.97 < r["neg_cos"] < 0.99
+    assert abs(r["margin"] - (r["pos_cos"] - r["neg_cos"])) < 1e-9
+
+
+def test_hard_negatives_tie_breaks_to_lowest_id(spark):
+    from terraspark.datapipe import similarity
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (7, [2.0, 0.0], "A"),            # identical direction, cos 1.0
+        (3, [3.0, 0.0], "A"),            # identical direction, cos 1.0
+        (9, [0.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    r = similarity.hard_negatives(df, [0]).collect()[0]
+    assert r["pos_id"] == 3              # rounded-cos tie -> lowest id
+    assert r["neg_id"] == 9
