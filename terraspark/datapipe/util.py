@@ -24,3 +24,35 @@ def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df
+
+
+def key_skew_audit(df, key_col: str, top: int = 10):
+    """Join-key skew profiler: the diagnostic a planner (or an engineer
+    sizing a 1000-executor job) reads before shuffling on ``key_col`` --
+    heavy-hitter keys with their share of the table and their ratio to
+    the mean key frequency (the straggler factor a plain hash join
+    would suffer; >> 1 means salt this key or let AQE split it).
+
+    Returns the ``top`` heaviest keys (count desc, key asc):
+    (key, n_rows, share, skew).  Shape: one map-side-combinable count
+    per key, a single-row global summary broadcast back, and a top-k
+    over the already-reduced per-key table (rows = distinct keys, far
+    smaller than the input; a two-level top-k is unnecessary here
+    because the count table IS the reduction)."""
+    from pyspark.sql import Window, functions as F
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").cast("double").alias("N"),
+                     F.avg("n_rows").alias("avg_n"))
+    # non-foldable always-zero partition key (the rel_rank_topk trick)
+    # keeps Spark from logging 'No Partition Defined' -- the counts
+    # table is already reduced, so the single partition is intended
+    w = Window.partitionBy(F.pmod(F.hash("key"), F.lit(1))) \
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= top)
+            .select(F.col("rnk").cast("int").alias("rnk"), "key", "n_rows",
+                    F.round(F.col("n_rows") / F.col("N"), 6).alias("share"),
+                    F.round(F.col("n_rows") / F.col("avg_n"), 4)
+                    .alias("skew")))

@@ -197,3 +197,27 @@ def watershed(flow: DataFrame, max_iter: int = 40) -> DataFrame:
     return (cur.select("dem_id", "cell", F.col("p").alias("basin"))
             .join(F.broadcast(sizes), ["dem_id", "basin"])
             .select("dem_id", "cell", "basin", "basin_size"))
+
+
+def ruggedness(elev: DataFrame) -> DataFrame:
+    """(dem_id, cell, n_nbr, tri, relief): terrain ruggedness index --
+    mean |elevation difference| to the existing 8-neighborhood (Riley
+    TRI at cell granularity) plus local relief (neighborhood max-min
+    spread including the cell itself).  Same map-side neighbor-key
+    self-equi-join as :func:`flow_direction`; one groupBy, map-side
+    combinable."""
+    step = 1 << _LON_BITS
+    deltas = ", ".join(f"{dla}L * {step}L + {dlo}L" for _, dla, dlo, _ in D8)
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.explode(F.expr(f"array({deltas})")).alias("d"))
+           .withColumn("target", F.col("cell") + F.col("d")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    j = nbr.join(other, ["dem_id", "target"])
+    return (j.groupBy("dem_id", "cell")
+            .agg(F.count("*").cast("long").alias("n_nbr"),
+                 F.round(F.avg(F.abs(F.col("elev") - F.col("nelev"))), 6)
+                 .alias("tri"),
+                 F.round(F.greatest(F.max("nelev"), F.first("elev"))
+                         - F.least(F.min("nelev"), F.first("elev")), 6)
+                 .alias("relief")))

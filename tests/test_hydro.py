@@ -117,3 +117,16 @@ def test_watershed_two_basins(spark):
     for i in range(3, 6):
         assert out[_key(0, i)]["basin"] == _key(0, 5)
     assert all(r["basin_size"] == 3 for r in out.values())
+
+
+def test_ruggedness_hand_case(spark):
+    # 1x3 strip: 0, 3, 9 -> middle cell: nbrs (0, 9), tri = (3+6)/2,
+    # relief = 9 - 0; left cell: nbr (3) only, tri = 3, relief = 3-0.
+    rows = [("d", _key(4, 0), 0.0), ("d", _key(4, 1), 3.0),
+            ("d", _key(4, 2), 9.0)]
+    out = {r["cell"]: r for r in
+           hydro.ruggedness(_elev_df(spark, rows)).collect()}
+    mid = out[_key(4, 1)]
+    assert mid["n_nbr"] == 2 and mid["tri"] == 4.5 and mid["relief"] == 9.0
+    left = out[_key(4, 0)]
+    assert left["n_nbr"] == 1 and left["tri"] == 3.0 and left["relief"] == 3.0

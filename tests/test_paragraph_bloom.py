@@ -123,3 +123,17 @@ def test_temperature_mixture_caps_p_at_one(spark):
            mixture.temperature_mixture(docs).collect()}
     assert out["tiny"]["p_sample"] == 1.0       # capped
     assert out["tiny"]["n_sampled"] == 3        # all kept
+
+
+# ------------------------------------------------------------ skew audit
+def test_key_skew_audit_surfaces_hot_key(spark):
+    from terraspark.datapipe.util import key_skew_audit
+    rows = [(k,) for k in range(20)] + [(7,)] * 80
+    df = spark.createDataFrame(rows, "key int")
+    out = key_skew_audit(df, "key", top=3).collect()
+    assert out[0]["key"] == 7 and out[0]["rnk"] == 1
+    assert out[0]["n_rows"] == 81
+    assert out[0]["share"] == round(81 / 100, 6)
+    # 20 distinct keys, mean 5 rows -> straggler factor 16.2
+    assert out[0]["skew"] == round(81 / 5.0, 4)
+    assert out[1]["n_rows"] == 1 and out[1]["key"] == 0   # tie -> key asc

@@ -22,3 +22,13 @@ def test_shuffle_join_equals_broadcast(spark, fixture_tables):
     exp = oracle.expected_join_counts()
     assert bc.count() == int(exp.loc[exp.stage == "tile_x_dem", "rows"].iloc[0])
     eng.unpersist()
+
+
+def test_tpch_q5_dimension_joins_broadcast(spark):
+    import __spark_entry__ as E
+    df = E.queries()["rel_tpch_q5"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the three dimension joins must be broadcast, not shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    rows = {r["n_name"]: r for r in df.collect()}
+    assert all(r["revenue"] > 0 for r in rows.values())
