@@ -160,9 +160,11 @@ def run_datapipe(spark, sf_dir: str) -> dict:
     picks = ["dp_dedup_exact", "dp_simhash", "dp_fingerprint", "dp_ann_topk",
              "dp_srp_neardup", "dp_frame_sample", "dp_dedup_clusters",
              "dp_decontaminate", "dp_pq_encode", "dp_ann_pq", "dp_lm_score",
-             "rel_tpch_q1", "rel_rose_means", "rel_stats_bundle",
-             "rel_rank_topk", "rel_broadcast_join_agg", "rel_asof_join",
-             "rel_json_extract"]
+             "dp_paragraph_dedup", "dp_bloom_prune", "dp_mixture_sample",
+             "dp_skew_audit", "dp_hard_negatives",
+             "rel_tpch_q1", "rel_tpch_q5", "rel_rose_means",
+             "rel_stats_bundle", "rel_rank_topk", "rel_broadcast_join_agg",
+             "rel_asof_join", "rel_json_extract"]
     from pyspark.sql import functions as F
     out = {}
     for name in picks:
