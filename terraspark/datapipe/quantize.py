@@ -28,17 +28,23 @@ from pyspark.sql import functions as F
 from .similarity import with_double_vec
 
 
-def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 8) -> DataFrame:
+def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 8,
+              _dim: int | None = None, _seeds=None) -> DataFrame:
     """(vec_id, subspace, code, err): per-subspace nearest-codebook
     assignment with err = squared L2 distance to the chosen code
     (rounded 6 dp).  ``m`` subspaces of dim/m dims each; codebook per
-    subspace = the matching subvectors of the ``k`` lowest vec_ids."""
+    subspace = the matching subvectors of the ``k`` lowest vec_ids.
+
+    ``_dim``/``_seeds`` let a caller that already ran the dim probe and
+    the TakeOrdered seed collect (pq_topk) pass them through instead of
+    re-running those two driver jobs."""
     e = with_double_vec(embeddings).select("vec_id", "vec")
-    dim = len(e.select("vec").head()["vec"])
+    dim = _dim if _dim is not None else len(e.select("vec").head()["vec"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    seed_rows = e.orderBy("vec_id").limit(k).collect()   # TakeOrdered, k rows
+    seed_rows = _seeds if _seeds is not None \
+        else e.orderBy("vec_id").limit(k).collect()   # TakeOrdered, k rows
     # codebook[s][j] = subvector s of the j-th lowest vec_id
     codebook = [[[float(x) for x in r["vec"][s * sub:(s + 1) * sub]]
                  for r in seed_rows] for s in range(m)]
@@ -137,7 +143,8 @@ def pq_topk(embeddings: DataFrame, query_ids, m: int = 8,
     lut = qdf.crossJoin(F.broadcast(cb)).select(
         "query_id", "subspace", "code", F.round(d2, 6).alias("d2"))
 
-    codes = pq_encode(embeddings, m=m, k=k_codes) \
+    codes = pq_encode(embeddings, m=m, k=k_codes,
+                      _dim=dim, _seeds=seed_rows) \
         .select("vec_id", "subspace", "code")
     scored = (codes.join(F.broadcast(lut), ["subspace", "code"])
               .where(F.col("vec_id") != F.col("query_id"))
