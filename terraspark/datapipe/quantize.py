@@ -49,26 +49,30 @@ def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 8,
     codebook = [[[float(x) for x in r["vec"][s * sub:(s + 1) * sub]]
                  for r in seed_rows] for s in range(m)]
 
-    per_sub = []
+    # ONE SQL string instead of ~m*k py4j Column constructions: plan
+    # building dropped from ~4 s to milliseconds, identical semantics.
+    # Codebook literals go through CAST('<repr>' AS DOUBLE) -- repr
+    # round-trips the double exactly and the string cast parses it back
+    # bit-identically (a bare SQL float literal would become DECIMAL).
+    # array_min's natural struct ordering IS (err asc, code asc), the
+    # rounded-argmin tie-break.
+    parts = []
     for s in range(m):
-        xs = F.slice("vec", s * sub + 1, sub)
-        cands = []
-        for j in range(k):
-            c = F.array(*[F.lit(v) for v in codebook[s][j]])
-            d2 = F.aggregate(
-                F.zip_with(xs, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            cands.append(F.struct(F.round(d2, 6).alias("err"),
-                                  F.lit(j).alias("code")))
-        best = F.array_sort(
-            F.array(*cands),
-            lambda a, b: F.when(a.err < b.err, -1).when(a.err > b.err, 1)
-            .when(a.code < b.code, -1).otherwise(1))[0]
-        per_sub.append(F.struct(F.lit(s).alias("subspace"),
-                                best.code.alias("code"),
-                                best.err.alias("err")))
-    return (e.select("vec_id", F.explode(F.array(*per_sub)).alias("q"))
-            .select("vec_id", "q.subspace", "q.code", "q.err"))
+        cands = ", ".join(
+            "struct(round(aggregate(zip_with(slice(vec, {a}, {n}), "
+            "array({cl}), (x, y) -> (x - y) * (x - y)), 0.0D, "
+            "(acc, x) -> acc + x), 6) as err, {j} as code)".format(
+                a=s * sub + 1, n=sub, j=j,
+                cl=", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                             for v in codebook[s][j]))
+            for j in range(k))
+        parts.append(f"struct({s} as subspace, "
+                     f"array_min(array({cands})) as b)")
+    return (e.select("vec_id",
+                     F.expr(f"inline(array({', '.join(parts)}))"))
+            .select("vec_id", "subspace",
+                    F.col("b.code").alias("code"),
+                    F.col("b.err").alias("err")))
 
 
 def pq_encode_sql(m: int = 8, k: int = 8, dim: int = 64,

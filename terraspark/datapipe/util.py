@@ -21,7 +21,9 @@ def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     spark = df.sparkSession
     if min_parts is None:
         min_parts = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_parts:
+    # JVM-side partition probe: df.rdd would spin up the Python-RDD
+    # serializer machinery just to read a number
+    if df._jdf.rdd().getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df
 
