@@ -30,5 +30,9 @@ def test_tpch_q5_dimension_joins_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the three dimension joins must be broadcast, not shuffle
     assert plan.count("BroadcastHashJoin") >= 3
+    # filters reach the scans (pushdown), scans are column-pruned
+    assert "r_name" in plan and "= ASIA" in plan
+    assert "o_orderdate" in plan.split("FileScan parquet [o_orderkey", 1)[1] \
+        .split("FileScan", 1)[0]
     rows = {r["n_name"]: r for r in df.collect()}
     assert all(r["revenue"] > 0 for r in rows.values())
