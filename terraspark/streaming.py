@@ -145,3 +145,76 @@ def cell_tile_counts(spark: SparkSession, images_dir: str, scenes_df,
          .start())
     q.awaitTermination()
     return q
+
+
+def stream_cell_rollup(spark: SparkSession, images_dir: str, scenes_df,
+                       dem_df, out_dir: str, checkpoint_dir: str,
+                       method: str = "cosine_t",
+                       params: CorrectionParams = DEFAULT_PARAMS):
+    """Streaming continuous aggregate (the hypertable-rollup pattern,
+    incremental form): each micro-batch reduces its OWN images to
+    per-cell MERGEABLE partials (n, s, ss, vmin, vmax -- the same
+    partials the batch pyramid is built from) and lands them in its own
+    ``batch_id`` partition exactly-once (write_batch); the materialized
+    aggregate is recovered any time by :func:`merged_cell_rollup`'s
+    single groupBy merge.
+
+    This is the scale shape for continuous aggregation over 10^12
+    images: state is O(cells), merges are associative sums, and a
+    replayed batch overwrites its own partition, so the aggregate never
+    double-counts.  Per-batch partials are exact (not approximate)
+    because cell partials are pure sums over each image's own tiles and
+    an image never spans micro-batches."""
+    from terraspark import corrections, sinks
+    from terraspark.pipeline import TopoEngine
+
+    if method not in METHODS:
+        raise ValueError(f"unknown method: {method}")
+
+    eng = TopoEngine(spark, params=params)
+    feats = eng.dem_features(dem_df)
+    feats.count()
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        tiles = eng.tiles(batch_df, scenes_df)
+        joined = corrections.join_dem(tiles, feats).persist()
+        try:
+            sc = corrections.band_stats_df(joined, params, eng.tile)
+            corrected = corrections.apply_corrections(
+                joined, sc, (method,), params, eng.tile)
+            partials = sinks.cell_partials(corrected).drop("method")
+            write_batch(partials, batch_id, out_dir)
+        finally:
+            joined.unpersist()
+
+    stream = spark.readStream.schema(IMAGES_DDL).parquet(images_dir)
+    q = (stream.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def merged_cell_rollup(spark: SparkSession, out_dir: str,
+                       round_to: int = 4) -> DataFrame:
+    """Merge the streamed per-batch partials into the finalized
+    continuous aggregate: (cell, band, n, mean, std, vmin, vmax).
+    One map-side-combinable groupBy over partial rows -- identical
+    merge arithmetic to the batch rollup (terraspark.rollup)."""
+    p = spark.read.parquet(out_dir).drop("batch_id")
+    m = p.groupBy("cell", "band").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"))
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    return m.select(
+        "cell", "band", "n",
+        F.round(mean, round_to).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to).alias("std"),
+        F.round("vmin", round_to).alias("vmin"),
+        F.round("vmax", round_to).alias("vmax"))

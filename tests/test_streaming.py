@@ -322,3 +322,53 @@ def test_stream_exact_dedup_rocksdb_state_store(spark, tmp_path):
         list(pathlib.Path(ckpt).rglob("*.changelog")) + \
         list(pathlib.Path(ckpt).rglob("*.snapshot"))
     assert state_files, "no RocksDB state artifacts under the checkpoint"
+
+
+def test_stream_cell_rollup_matches_batch(spark, stream_env, tmp_path):
+    """Two-drop streaming continuous aggregate == batch cell partials,
+    row for row (merge of per-batch partials is exact)."""
+    from terraspark import sinks, streaming as tstreaming
+    from terraspark.pipeline import TopoEngine
+    from terraspark import corrections
+    from terraspark.config import METHODS
+    from terraspark.fixtures import IMAGES_SCHEMA
+
+    out = str(tmp_path / "ru_out")
+    ckpt = str(tmp_path / "ru_ckpt")
+    src = str(tmp_path / "ru_src")
+    os.makedirs(src)
+    images = stream_env["images"]
+    images.iloc[:3].to_parquet(os.path.join(src, "d0.parquet"), index=False)
+    tstreaming.stream_cell_rollup(spark, src, stream_env["scenes_df"],
+                                  stream_env["dem_df"], out, ckpt)
+    images.iloc[3:].to_parquet(os.path.join(src, "d1.parquet"), index=False)
+    tstreaming.stream_cell_rollup(spark, src, stream_env["scenes_df"],
+                                  stream_env["dem_df"], out, ckpt)
+    streamed = {(r["cell"], r["band"]): r
+                for r in tstreaming.merged_cell_rollup(spark, out).collect()}
+
+    eng = TopoEngine(spark)
+    images_df = to_spark(spark, images, IMAGES_SCHEMA)
+    joined = eng.joined(images_df, stream_env["scenes_df"],
+                        stream_env["dem_df"])
+    sc = corrections.band_stats_df(joined, eng.params, eng.tile)
+    corrected = corrections.apply_corrections(
+        joined, sc, ("cosine_t",), eng.params, eng.tile)
+    base = sinks.cell_partials(corrected).drop("method")
+    from terraspark.streaming import merged_cell_rollup  # finalize inline
+    from pyspark.sql import functions as F
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    batch = {(r["cell"], r["band"]): r for r in base.select(
+        "cell", "band", F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("std"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax")).collect()}
+
+    assert set(streamed) == set(batch)
+    for key, s in streamed.items():
+        b = batch[key]
+        assert s["n"] == b["n"]
+        for c in ("mean", "std", "vmin", "vmax"):
+            assert s[c] == b[c], (key, c)
