@@ -1,0 +1,137 @@
+"""Iceberg-style snapshot table: atomic commits, snapshot-isolated
+reads, time travel and metadata-only rollback over plain parquet.
+
+The north rule frames the engine's outputs as Iceberg tables; the
+container has no Iceberg runtime, so this module implements the part of
+the Iceberg metadata model the pipeline actually relies on, on plain
+files (same class of substitute as cells.py standing in for the h3
+package):
+
+    {root}/data/snap_id=N/...        immutable data files of commit N
+    {root}/_snapshots/N.json         manifest: {snap_id, parent, op,
+                                     visible: [snap ids], rows, ts}
+
+* COMMIT is a single atomic ``os.replace`` of the manifest file, AFTER
+  the data lands -- a crash between the two leaves an orphan data
+  directory, never a half-visible commit (readers only trust
+  manifests).
+* A manifest carries the full ``visible`` list (the partition ids that
+  make up the table at that snapshot), so READ is: resolve ONE
+  manifest, then scan exactly those immutable partitions -- readers are
+  snapshot-isolated from concurrent appends by construction.
+* ``append`` extends the parent's visible list; ``overwrite`` replaces
+  it; ``rollback`` writes a NEW snapshot whose visible list is copied
+  from an older one -- O(metadata), no data moved, history preserved
+  (exactly Iceberg's rollback semantics).
+* ``read(as_of=k)`` time-travels to any committed snapshot.
+
+At cluster scale the manifest directory lives on the object store and
+the atomic rename becomes a conditional PUT / catalog swap; the reader
+and writer logic is unchanged.  Partition data is written by Spark
+(``snap_id`` is a real partition column), so scans prune to the visible
+set via a pushed-down ``snap_id IN (...)`` filter.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class NoSuchSnapshotError(KeyError):
+    pass
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(self._meta_dir(), exist_ok=True)
+
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    # --------------------------------------------------------- metadata
+    def history(self) -> list[dict]:
+        out = []
+        for f in os.listdir(self._meta_dir()):
+            if f.endswith(".json"):
+                with open(os.path.join(self._meta_dir(), f)) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["snap_id"])
+
+    def current_snapshot(self) -> int | None:
+        h = self.history()
+        return h[-1]["snap_id"] if h else None
+
+    def _manifest(self, snap_id: int) -> dict:
+        p = os.path.join(self._meta_dir(), f"{snap_id}.json")
+        if not os.path.exists(p):
+            raise NoSuchSnapshotError(snap_id)
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict) -> int:
+        sid = manifest["snap_id"]
+        tmp = os.path.join(self._meta_dir(), f".{sid}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._meta_dir(), f"{sid}.json"))
+        return sid
+
+    # ------------------------------------------------------------ write
+    def _write(self, df: DataFrame, op: str, visible_fn) -> int:
+        import time
+        cur = self.current_snapshot()
+        sid = 0 if cur is None else cur + 1
+        rows = df.count()
+        (df.withColumn("snap_id", F.lit(sid))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("snap_id").parquet(self._data_dir()))
+        parent_visible = [] if cur is None \
+            else self._manifest(cur)["visible"]
+        return self._commit({
+            "snap_id": sid, "parent": cur, "op": op,
+            "visible": visible_fn(parent_visible, sid),
+            "rows": rows, "ts": time.time()})
+
+    def append(self, df: DataFrame) -> int:
+        """New snapshot = parent's partitions + this one."""
+        return self._write(df, "append", lambda vis, sid: vis + [sid])
+
+    def overwrite(self, df: DataFrame) -> int:
+        """New snapshot replaces the whole visible set."""
+        return self._write(df, "overwrite", lambda vis, sid: [sid])
+
+    def rollback(self, to_snap: int) -> int:
+        """Metadata-only: a NEW snapshot whose visible set is copied
+        from ``to_snap``; no data is moved or deleted and the rolled-
+        back history stays readable via time travel."""
+        import time
+        target = self._manifest(to_snap)
+        cur = self.current_snapshot()
+        sid = cur + 1
+        return self._commit({
+            "snap_id": sid, "parent": cur, "op": f"rollback[{to_snap}]",
+            "visible": list(target["visible"]),
+            "rows": 0, "ts": time.time()})
+
+    # ------------------------------------------------------------- read
+    def read(self, as_of: int | None = None) -> DataFrame:
+        """Snapshot-isolated scan: resolve ONE manifest, then read
+        exactly its immutable partitions (``snap_id IN (...)`` prunes
+        at the source)."""
+        sid = self.current_snapshot() if as_of is None else as_of
+        if sid is None:
+            raise NoSuchSnapshotError("empty table")
+        vis = self._manifest(sid)["visible"]
+        df = self.spark.read.parquet(self._data_dir())
+        if not vis:
+            return df.where(F.lit(False)).drop("snap_id")
+        return df.where(F.col("snap_id").isin(vis)).drop("snap_id")

@@ -1,0 +1,62 @@
+"""Snapshot table semantics: atomic visibility, time travel, rollback."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from terraspark.snapshots import NoSuchSnapshotError, SnapshotTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"),
+                                      (F.col("id") * 10).alias("v"))
+
+
+def _keys(tbl, as_of=None):
+    return sorted(r["k"] for r in tbl.read(as_of=as_of).collect())
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    s0 = tbl.append(_df(spark, 0, 3))
+    s1 = tbl.append(_df(spark, 3, 5))
+    assert _keys(tbl) == [0, 1, 2, 3, 4]
+    s2 = tbl.overwrite(_df(spark, 100, 102))
+    assert _keys(tbl) == [100, 101]
+    # time travel: earlier snapshots unchanged by the overwrite
+    assert _keys(tbl, as_of=s0) == [0, 1, 2]
+    assert _keys(tbl, as_of=s1) == [0, 1, 2, 3, 4]
+    assert _keys(tbl, as_of=s2) == [100, 101]
+
+
+def test_rollback_is_metadata_only_and_restores(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    tbl.append(_df(spark, 0, 3))
+    s1 = tbl.append(_df(spark, 3, 5))
+    tbl.overwrite(_df(spark, 100, 102))
+    parts_before = sorted(os.listdir(tbl._data_dir()))
+    s3 = tbl.rollback(s1)
+    assert sorted(os.listdir(tbl._data_dir())) == parts_before  # no data moved
+    assert _keys(tbl) == [0, 1, 2, 3, 4]
+    # rolled-back-over snapshot still time-travelable
+    assert _keys(tbl, as_of=s3 - 1) == [100, 101]
+    ops = [m["op"] for m in tbl.history()]
+    assert ops == ["append", "append", "overwrite", f"rollback[{s1}]"]
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    tbl.append(_df(spark, 0, 2))
+    # simulate a crash AFTER the data write, BEFORE the manifest commit:
+    # land a data partition with no manifest -- readers must not see it
+    (_df(spark, 50, 60).withColumn("snap_id", F.lit(99))
+     .write.mode("append").partitionBy("snap_id")
+     .parquet(tbl._data_dir()))
+    assert _keys(tbl) == [0, 1]
+    assert tbl.current_snapshot() == 0
+
+
+def test_empty_table_read_raises(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(NoSuchSnapshotError):
+        tbl.read()
