@@ -163,3 +163,46 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
                    .alias("lp")))
     return scored.select("doc_id", "n_toks",
                          F.round("lp", 6).alias("avg_logp"))
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
+    """Corpus-trained INTERPOLATED bigram LM score per document: the
+    perplexity-style quality signal one step up from unigram_logprob.
+
+        p(w2 | w1) = lam * c(w1 w2) / c(w1.)  +  (1 - lam) * c(w2) / N
+
+    where c(w1 w2) counts corpus bigrams, c(w1.) counts bigrams starting
+    with w1 (so the conditional sums to 1 over the vocab), c(w2)/N is
+    the unigram backoff, and lam is Jelinek-Mercer interpolation weight.
+    Doc score = mean log10 p over the doc's bigrams; docs shorter than
+    2 tokens emit nothing.  Unseen corpus bigrams still score via the
+    backoff term, so the log never hits -inf on in-vocab tokens.
+
+    Scale: two vocab-sized count tables (bigram, unigram-start) built
+    with map-side-combined groupBys; the score join is bigram-keyed
+    (broadcast while it fits, shuffle beyond); one narrow row per doc.
+    """
+    w = (spread_input(docs)
+         .select("doc_id", F.split("text", " ").alias("w"))
+         .where(F.size("w") >= 2))
+    bi = w.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> struct(w[i - 1] as w1, w[i] as w2))")).alias("b")) \
+        .select("doc_id", "b.w1", "b.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scnt = bcnt.groupBy("w1").agg(F.sum("cb").alias("cs"))
+    ucnt = bi.groupBy(F.col("w2").alias("u")).agg(F.count("*").alias("cu"))
+    tot = ucnt.agg(F.sum("cu").cast("double").alias("N"))
+    p = (F.lit(lam) * F.col("cb") / F.col("cs")
+         + F.lit(1.0 - lam) * F.col("cu") / F.col("N"))
+    scored = (bi.join(bcnt, ["w1", "w2"])
+              .join(scnt, "w1")
+              .join(ucnt, bi["w2"] == F.col("u"))
+              .crossJoin(F.broadcast(tot))
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_bigrams"),
+                   F.avg(F.log10(p)).alias("lp")))
+    return scored.select("doc_id", "n_bigrams",
+                         F.round("lp", 6).alias("avg_logp"))

@@ -192,3 +192,30 @@ def test_hard_negatives_tie_breaks_to_lowest_id(spark):
     r = similarity.hard_negatives(df, [0]).collect()[0]
     assert r["pos_id"] == 3              # rounded-cos tie -> lowest id
     assert r["neg_id"] == 9
+
+
+def test_bigram_logprob_hand_case(spark):
+    import math
+    from terraspark.datapipe import textstats
+    # corpus: "a b a b" (bigrams ab, ba, ab) and "a b" (ab)
+    docs = spark.createDataFrame([(1, "a b a b"), (2, "a b")],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.bigram_logprob(docs).collect()}
+    # counts: c(ab)=3, c(ba)=1; c(a.)=3, c(b.)=1; second-position
+    # unigrams: b x3, a x1, N=4
+    p_ab = 0.75 * 3 / 3 + 0.25 * 3 / 4.0
+    p_ba = 0.75 * 1 / 1 + 0.25 * 1 / 4.0
+    exp1 = (2 * math.log10(p_ab) + math.log10(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logp"] - round(exp1, 6)) <= 1e-6
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logp"] == round(math.log10(p_ab), 6)
+
+
+def test_bigram_logprob_skips_short_docs(spark):
+    from terraspark.datapipe import textstats
+    docs = spark.createDataFrame([(1, "solo"), (2, "two words")],
+                                 "doc_id long, text string")
+    out = textstats.bigram_logprob(docs).collect()
+    assert [r["doc_id"] for r in out] == [2]
