@@ -234,6 +234,30 @@ def main():
         })
     pd.DataFrame(drows).to_parquet(f"{OUT}/expected_dem.parquet", index=False)
 
+    # cartographic hillshade (NW sun 315/45) over the same full-grid
+    # slope/aspect: shadow pixels are EXACT zeros (fmax clamp), so
+    # n_shadow is an integer invariant the tiled engine must reproduce
+    from terraspark.kernels import hillshade
+    hsrows = []
+    for k, (slope, aspect, lum) in sorted(oracle.feats.items()):
+        sh = hillshade(slope, aspect)
+        low = hillshade(slope, aspect, altitude_deg=10.0)
+        # mean (not sum): the 255-scaled full-grid sum is large enough
+        # that f64 summation-order noise could graze a 2-dp rounding
+        # boundary; the mean divides that noise by n_px.  The shadow
+        # count uses a GRAZING 10-degree sun: the fixture hills slope up
+        # to ~20 degrees, so ~8% of hilly pixels clamp to exact 0 while
+        # the flat dem_3 casts none -- a discriminating integer invariant
+        # (at the default 45-degree sun nothing shadows).
+        hsrows.append({
+            "dem_id": f"dem_{k}",
+            "n_cells": int(slope.size // (TILE * TILE)),
+            "mean_shade": half_up(float(sh.sum()) / sh.size, 4),
+            "n_shadow_low": int((low == 0.0).sum()),
+        })
+    pd.DataFrame(hsrows).to_parquet(
+        f"{OUT}/expected_hillshade.parquet", index=False)
+
     # ---------------- typed (dtype-lattice) fixture set: uint16/byte/int16
     # sources with per-type default NDV (SURVEY section 1.2)
     timages, tscenes, tdem, taoi, tgrids = build_tables(

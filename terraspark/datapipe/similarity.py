@@ -245,7 +245,8 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
                   n_centroids: int = 8,
                   max_cell: int = DEFAULT_MAX_CELL,
                   sub_block: int = SUB_BLOCK,
-                  n_blocks: int = 8) -> DataFrame:
+                  n_blocks: int = 8,
+                  centroids: DataFrame | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by IVF cell: the
     quadratic comparison only runs inside each centroid's bucket (the
     embedding analogue of LSH banding).  Cells above ``max_cell`` are
@@ -261,8 +262,12 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
     spreads over n_blocks tasks.  Each unordered pair (x < y) still
     appears EXACTLY once (x's replica in bucket(y) meets y; y's replica
     in bucket(x) meets x but fails x < y), so results are identical to
-    the direct path (asserted in tests/test_dedup_caps.py)."""
-    assign = ivf_assign(embeddings, n_centroids)
+    the direct path (asserted in tests/test_dedup_caps.py).
+
+    ``centroids`` (centroid_id, cvec double[]) swaps the lowest-vec_id
+    stand-in cells for trained ones (clustering.kmeans_centroids) --
+    the blocking gets tighter, the pair semantics are unchanged."""
+    assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
     sizes = assign.groupBy("centroid_id").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_cell) \
         .select("centroid_id", (F.col("_n") > sub_block).alias("_big"))
@@ -370,3 +375,41 @@ def hard_negatives(embeddings: DataFrame, query_ids: list) -> DataFrame:
         F.col("p.id").alias("pos_id"), F.col("p.cos").alias("pos_cos"),
         F.col("n.id").alias("neg_id"), F.col("n.cos").alias("neg_cos"),
         F.round(F.col("p.cos") - F.col("n.cos"), 6).alias("margin"))
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.8,
+             n_centroids: int = 8, iters: int = 2,
+             max_cell: int = DEFAULT_MAX_CELL,
+             sub_block: int = SUB_BLOCK, n_blocks: int = 8) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with trained k-means cells, compare embeddings ONLY
+    within their cell, and drop every vector that has a LOWER-id near
+    duplicate (cos >= threshold) in its cell.  Returns one row per vector:
+    (vec_id, cluster, keep) -- order-free, deterministic semantics (the
+    lowest id of each near-duplicate relation always survives; a vector is
+    dropped even if its witness is itself dropped, i.e. the rule is "keep
+    iff no lower-id duplicate exists", not a greedy scan).
+
+    Scale shape: k-means centroids are driver-tiny (k x dim), assignment
+    is one broadcast join + max_by; the quadratic compare inherits ALL of
+    :func:`neardup_pairs`'s skew guards (cell cap + hash sub-blocking), and
+    the keep verdict is one distinct + left anti-ish join on narrow int64
+    keys.  The corpus text/bytes never enter any shuffle.
+    """
+    from .clustering import kmeans_centroids
+    cent = kmeans_centroids(embeddings, k=n_centroids, iters=iters)
+    cent = cent.persist()
+    try:
+        assign = ivf_assign(embeddings, n_centroids, centroids=cent)
+        pairs = neardup_pairs(embeddings, threshold, n_centroids,
+                              max_cell, sub_block, n_blocks, centroids=cent)
+        dropped = (pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+                   .withColumn("_drop", F.lit(True)))
+        out = (assign.join(dropped, "vec_id", "left")
+               .select("vec_id", F.col("centroid_id").alias("cluster"),
+                       F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))
+        # materialize before unpersisting the centroid table the plan uses
+        out = out.localCheckpoint(eager=True)
+    finally:
+        cent.unpersist()
+    return out

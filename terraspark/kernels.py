@@ -87,6 +87,27 @@ def luminance(slope_rad: np.ndarray, aspect_rad: np.ndarray,
     return out.astype(F32)
 
 
+def hillshade(slope_rad: np.ndarray, aspect_rad: np.ndarray,
+              azimuth_deg: float = 315.0,
+              altitude_deg: float = 45.0) -> np.ndarray:
+    """Cartographic hillshade (gdaldem hillshade shading equation):
+
+        255 * max(0, cos(zen)*cos(S) + sin(zen)*sin(S)*cos(az - A))
+
+    with zen = 90deg - sun altitude and the standard NW sun (315/45)
+    defaults.  Same shading model as :func:`luminance` but with the
+    cartographic sun and the 0..255 display scaling; kept in float64
+    (no byte quantization) so shadow pixels (raw term <= 0) are exactly
+    0.0 on both the tiled engine path and the full-grid oracle."""
+    zen = np.radians(90.0 - altitude_deg)
+    az = np.radians(azimuth_deg)
+    s = slope_rad.astype(np.float64)
+    a = aspect_rad.astype(np.float64)
+    return 255.0 * np.fmax(
+        0.0,
+        np.cos(zen) * np.cos(s) + np.sin(zen) * np.sin(s) * np.cos(az - a))
+
+
 # ======================================================================
 # Sufficient statistics for the global per-(image, band) scalars.
 # The reference computes these with whole-scene driver-side numpy

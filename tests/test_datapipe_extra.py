@@ -219,3 +219,25 @@ def test_bigram_logprob_skips_short_docs(spark):
                                  "doc_id long, text string")
     out = textstats.bigram_logprob(docs).collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+def test_semdedup_chain_rule_and_keep_lowest(spark):
+    import math
+    from terraspark.datapipe import similarity
+    # one cluster (k=1): a--b and b--c are near-dups (20 deg apart,
+    # threshold ~cos 25 deg) but a--c (40 deg) is NOT.  Rule under test:
+    # keep iff NO lower-id duplicate exists -- so c is dropped via its
+    # witness b even though b is itself dropped (non-greedy semantics).
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+    rows = [(0, v(0.0)), (1, v(20.0)), (2, v(40.0)), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           similarity.semdedup(df, threshold=0.91, n_centroids=1,
+                               iters=1).collect()}
+    assert len(out) == 4
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False       # dup of 0
+    assert out[2]["keep"] is False       # dup of (dropped) 1: still dropped
+    assert out[3]["keep"] is True        # isolated
+    assert all(r["cluster"] == 0 for r in out.values())

@@ -173,3 +173,24 @@ def test_terrain_flat_zero_flat():
     assert np.all(s == 0) and np.all(a == 0)          # ZERO_FLAT
     lum = luminance(s, a, DEFAULT_PARAMS)
     assert np.allclose(lum, DEFAULT_PARAMS.sza_cosine, atol=1e-7)
+
+
+def test_hillshade_flat_and_shadow():
+    from terraspark.kernels import hillshade
+    # flat terrain under a 45-degree sun: shade = 255*cos(45) everywhere
+    s = np.zeros((4, 4), dtype=np.float32)
+    a = np.zeros((4, 4), dtype=np.float32)
+    sh = hillshade(s, a)
+    assert sh.dtype == np.float64
+    assert np.allclose(sh, 255.0 * np.cos(np.radians(45.0)), atol=1e-9)
+    # a 60-degree slope facing SE (aspect 135) under the default NW sun
+    # points away harder than the sun altitude: exact 0 (clamped shadow)
+    s60 = np.full((2, 2), np.radians(60.0), dtype=np.float32)
+    a135 = np.full((2, 2), np.radians(135.0), dtype=np.float32)
+    assert np.all(hillshade(s60, a135) == 0.0)
+    # same slope facing the sun (aspect 315) is the brightest case
+    a315 = np.full((2, 2), np.radians(315.0), dtype=np.float32)
+    bright = hillshade(s60, a315)
+    expected = 255.0 * (np.cos(np.radians(45)) * np.cos(np.radians(60))
+                        + np.sin(np.radians(45)) * np.sin(np.radians(60)))
+    assert np.allclose(bright, expected, atol=1e-6)
