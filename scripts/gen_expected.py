@@ -258,6 +258,28 @@ def main():
     pd.DataFrame(hsrows).to_parquet(
         f"{OUT}/expected_hillshade.parquet", index=False)
 
+    # TPI landform classes: full-grid center-minus-3x3-mean (same
+    # pad_extrapolate + conv3 term order as the engine's halo path),
+    # classified on the f32 cast -- counts are exact integers.
+    # Asymmetric thresholds (ridge > 0.02, valley < -0.01): the convex
+    # gaussian-hill fixture skews TPI positive; dem_3 is all-flat.
+    from terraspark.convolve import KERNEL_MEAN3, conv3 as _conv3
+    from terraspark.kernels import pad_extrapolate as _padx
+    trows = []
+    for k in sorted(grids):
+        z = grids[k].astype(np.float64)
+        tpi = (z - _conv3(_padx(z), KERNEL_MEAN3)).astype(np.float32)
+        n_ridge = int((tpi > 0.02).sum())
+        n_valley = int((tpi < -0.01).sum())
+        trows.append({
+            "dem_id": f"dem_{k}",
+            "n_cells": int(z.size // (TILE * TILE)),
+            "n_ridge": n_ridge, "n_valley": n_valley,
+            "n_flat": int(tpi.size - n_ridge - n_valley),
+        })
+    pd.DataFrame(trows).to_parquet(f"{OUT}/expected_tpi.parquet",
+                                   index=False)
+
     # ---------------- typed (dtype-lattice) fixture set: uint16/byte/int16
     # sources with per-type default NDV (SURVEY section 1.2)
     timages, tscenes, tdem, taoi, tgrids = build_tables(

@@ -35,6 +35,9 @@ KERNEL_GAUSS3 = np.array([[1.0, 2.0, 1.0],
                           [2.0, 4.0, 2.0],
                           [1.0, 2.0, 1.0]]) / 16.0
 
+# 3x3 neighborhood mean (TPI base kernel)
+KERNEL_MEAN3 = np.ones((3, 3)) / 9.0
+
 _HALO_SCHEMA = ("image_id string, band int, ttx int, tty int, role string, "
                 "data binary")
 _OUT_SCHEMA = ("image_id string, band int, tile_x int, tile_y int, "
@@ -231,6 +234,23 @@ def _assembler_fn(tile: int, fn):
             yield pd.DataFrame(out)
 
     return run
+
+
+def tpi3(zp: np.ndarray) -> np.ndarray:
+    """Topographic position index of a 1-px-padded f64 block: center
+    elevation minus its 3x3 neighborhood mean (Weiss 2001 TPI at the
+    smallest scale).  Positive = locally high (ridge/knoll), negative =
+    locally low (valley/channel), ~0 = flat or constant slope.  Shares
+    conv3's deterministic term order, so tile-halo output is bit-equal
+    to the full-plane computation."""
+    return zp[1:-1, 1:-1] - conv3(zp, KERNEL_MEAN3)
+
+
+def tpi_tiles(tiles: DataFrame, tile: int = TILE,
+              partitions: int | None = None) -> DataFrame:
+    """Halo-correct TPI over tiles(image_id, band, tile_x, tile_y, px)
+    -- feed DEM elevation tiles as px to landform-classify terrain."""
+    return _apply_padded(tiles, tpi3, tile, partitions)
 
 
 def morph_tiles(tiles: DataFrame, op: str = "dilate", tile: int = TILE,

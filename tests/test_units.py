@@ -194,3 +194,19 @@ def test_hillshade_flat_and_shadow():
     expected = 255.0 * (np.cos(np.radians(45)) * np.cos(np.radians(60))
                         + np.sin(np.radians(45)) * np.sin(np.radians(60)))
     assert np.allclose(bright, expected, atol=1e-6)
+
+
+def test_tpi3_signs_and_flat():
+    from terraspark.convolve import tpi3
+    from terraspark.kernels import pad_extrapolate
+    # constant slope: every pixel equals its 3x3 mean -> TPI exactly 0
+    z = np.outer(np.arange(8, dtype=np.float64), np.ones(8)) * 3.0
+    tpi = tpi3(pad_extrapolate(z))
+    assert np.allclose(tpi, 0.0, atol=1e-12)
+    # a single spike is locally high (positive), its neighbors locally
+    # low-ish; the spike pixel's TPI is value - mean = 9 - 1 = 8
+    z2 = np.zeros((8, 8))
+    z2[4, 4] = 9.0
+    tpi2 = tpi3(pad_extrapolate(z2))
+    assert abs(tpi2[4, 4] - 8.0) < 1e-12
+    assert tpi2[4, 3] < 0          # neighbor pulled below its local mean
