@@ -161,10 +161,11 @@ def run_datapipe(spark, sf_dir: str) -> dict:
              "dp_srp_neardup", "dp_frame_sample", "dp_dedup_clusters",
              "dp_decontaminate", "dp_pq_encode", "dp_ann_pq", "dp_lm_score",
              "dp_paragraph_dedup", "dp_bloom_prune", "dp_mixture_sample",
-             "dp_skew_audit", "dp_hard_negatives",
-             "rel_tpch_q1", "rel_tpch_q5", "rel_rose_means",
+             "dp_skew_audit", "dp_hard_negatives", "dp_bm25",
+             "dp_semdedup", "dp_lm_bigram",
+             "rel_tpch_q1", "rel_tpch_q5", "rel_tpch_q3", "rel_rose_means",
              "rel_stats_bundle", "rel_rank_topk", "rel_broadcast_join_agg",
-             "rel_asof_join", "rel_json_extract"]
+             "rel_asof_join", "rel_json_extract", "rel_events_funnel"]
     from pyspark.sql import functions as F
     out = {}
     for name in picks:

@@ -280,6 +280,23 @@ def main():
     pd.DataFrame(trows).to_parquet(f"{OUT}/expected_tpi.parquet",
                                    index=False)
 
+    # iso-contour crossing counts per (dem, level): full padded grid,
+    # same pixel-owns-right+down-edge rule as the engine's halo path --
+    # exact integer contour length in edge units
+    from terraspark.convolve import contour_crossings
+    LEVELS = (150.0, 300.0, 450.0)
+    crows = []
+    for k in sorted(grids):
+        z = grids[k].astype(np.float64)
+        stacked = contour_crossings(_padx(z), LEVELS)
+        h = z.shape[0]
+        for li, lv in enumerate(LEVELS):
+            crows.append({
+                "dem_id": f"dem_{k}", "level": lv,
+                "n_crossings": int(stacked[li * h:(li + 1) * h].sum())})
+    pd.DataFrame(crows).to_parquet(f"{OUT}/expected_contours.parquet",
+                                   index=False)
+
     # ---------------- typed (dtype-lattice) fixture set: uint16/byte/int16
     # sources with per-type default NDV (SURVEY section 1.2)
     timages, tscenes, tdem, taoi, tgrids = build_tables(

@@ -253,6 +253,42 @@ def tpi_tiles(tiles: DataFrame, tile: int = TILE,
     return _apply_padded(tiles, tpi3, tile, partitions)
 
 
+def contour_crossings(zp: np.ndarray, levels: tuple[float, ...]) -> np.ndarray:
+    """Per-pixel iso-line edge-crossing counts of a 1-px-padded f64
+    block, one (t, w) plane per level, returned VERTICALLY STACKED
+    (len(levels)*t, w) so a multi-level contour scan costs ONE halo
+    exchange (the assembler ships opaque bytes; the consumer unstacks).
+
+    Marching-squares edge rule with unambiguous ownership: every pixel
+    owns its RIGHT and DOWN edge; the edge crosses level L when
+    (z > L) differs across it.  Right/down neighbors of the tile's last
+    column/row come from the halo (the true grid neighbor in the
+    interior, the gdaldem extrapolation pad at the raster border), so
+    per-tile counts sum EXACTLY to the full-grid count -- total contour
+    length in edge units, an integer invariant."""
+    t, w = zp.shape[0] - 2, zp.shape[1] - 2
+    c = zp[1:t + 1, 1:w + 1]
+    right = zp[1:t + 1, 2:w + 2]
+    down = zp[2:t + 2, 1:w + 1]
+    planes = []
+    for lv in levels:
+        a = c > lv
+        planes.append((a != (right > lv)).astype(np.float64)
+                      + (a != (down > lv)).astype(np.float64))
+    return np.concatenate(planes, axis=0)
+
+
+def contour_tiles(tiles: DataFrame, levels: tuple[float, ...],
+                  tile: int = TILE,
+                  partitions: int | None = None) -> DataFrame:
+    """Halo-correct multi-level contour crossing counts: ``conv`` holds
+    the stacked per-level count planes, ``conv_sum`` the tile's total
+    crossings over all levels."""
+    lv = tuple(float(x) for x in levels)
+    return _apply_padded(tiles, lambda zp: contour_crossings(zp, lv),
+                         tile, partitions)
+
+
 def morph_tiles(tiles: DataFrame, op: str = "dilate", tile: int = TILE,
                 partitions: int | None = None) -> DataFrame:
     """3x3 morphological dilate/erode over image tiles, halo-correct

@@ -206,3 +206,41 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
                    F.avg(F.log10(p)).alias("lp")))
     return scored.select("doc_id", "n_bigrams",
                          F.round("lp", 6).alias("avg_logp"))
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k1: float = 1.2,
+              b: float = 0.75, k: int = 20) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed query term set (Robertson/
+    Sparck Jones; the standard retrieval scorer):
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Top-k docs by rounded score, doc_id tie-break (deterministic cut).
+
+    Scale shape: tokens explode once (spread_input guards the narrow
+    scan); tf is one map-side-combined groupBy on (doc, term) AFTER the
+    isin(terms) filter (only query-term tokens survive the explode);
+    df/idf is a |terms|-row table (broadcast); N and avgdl are two scalar
+    aggregates (driver-side floats, not data).  The final rank is a
+    bounded TakeOrdered top-k, never a full sort."""
+    toks = (spread_input(docs)
+            .select("doc_id", F.split("text", " ").alias("w")))
+    lens = toks.select("doc_id", F.size("w").cast("double").alias("dl"))
+    nrow = lens.agg(F.count("*").alias("n"),
+                    F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = float(nrow["n"]), float(nrow["avgdl"])
+    tf = (toks.select("doc_id", F.explode("w").alias("t"))
+          .where(F.col("t").isin(list(terms)))
+          .groupBy("doc_id", "t").agg(F.count("*").cast("double")
+                                      .alias("tf")))
+    df = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    idf = df.select(
+        "t", F.log((F.lit(n_docs) - F.col("df") + 0.5)
+                   / (F.col("df") + 0.5) + 1.0).alias("idf"))
+    w = (F.col("idf") * (F.col("tf") * (k1 + 1.0))
+         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    scored = (tf.join(F.broadcast(idf), "t").join(lens, "doc_id")
+              .groupBy("doc_id").agg(F.round(F.sum(w), 6).alias("score")))
+    return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "score"))

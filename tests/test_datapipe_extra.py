@@ -241,3 +241,19 @@ def test_semdedup_chain_rule_and_keep_lowest(spark):
     assert out[2]["keep"] is False       # dup of (dropped) 1: still dropped
     assert out[3]["keep"] is True        # isolated
     assert all(r["cluster"] == 0 for r in out.values())
+
+
+def test_bm25_hand_case(spark):
+    import math
+    from terraspark.datapipe import textstats
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "a x x x")],
+        "doc_id long, text string")
+    out = textstats.bm25_topk(docs, ["a"], k=10).collect()
+    # N=3, avgdl=3, df(a)=2 -> idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    s1 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+    s3 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 4 / 3.0))
+    assert [r["doc_id"] for r in out] == [1, 3]       # doc2 never scores
+    assert abs(out[0]["score"] - round(s1, 6)) <= 1e-6
+    assert abs(out[1]["score"] - round(s3, 6)) <= 1e-6

@@ -210,3 +210,32 @@ def test_tpi3_signs_and_flat():
     tpi2 = tpi3(pad_extrapolate(z2))
     assert abs(tpi2[4, 4] - 8.0) < 1e-12
     assert tpi2[4, 3] < 0          # neighbor pulled below its local mean
+
+
+def test_contour_crossings_hand_case_and_tile_sum():
+    from terraspark.convolve import contour_crossings
+    from terraspark.kernels import pad_extrapolate
+    # step grid: left half 0, right half 10 -> level 5 crosses once per
+    # row on the vertical boundary edge; no horizontal crossings
+    z = np.zeros((6, 6))
+    z[:, 3:] = 10.0
+    st = contour_crossings(pad_extrapolate(z), (5.0,))
+    assert st.shape == (6, 6)
+    assert st.sum() == 6.0                      # one crossing per row
+    assert np.all(st[:, 2] == 1.0)              # owned by the left pixel
+    # stacked multi-level: level 15 never crosses
+    st2 = contour_crossings(pad_extrapolate(z), (5.0, 15.0))
+    assert st2.shape == (12, 6)
+    assert st2[:6].sum() == 6.0 and st2[6:].sum() == 0.0
+    # tile-splitting exactness: sum over 4 quadrant tiles with true
+    # neighbor halos == full-grid count (random-ish smooth surface)
+    yy, xx = np.mgrid[0:8, 0:8].astype(np.float64)
+    g = np.sin(xx / 2.0) * 3.0 + np.cos(yy / 3.0) * 2.0
+    full = contour_crossings(pad_extrapolate(g), (0.5,)).sum()
+    gp = pad_extrapolate(g)
+    tot = 0.0
+    for ty in range(2):
+        for tx in range(2):
+            zp = gp[ty * 4:ty * 4 + 6, tx * 4:tx * 4 + 6]
+            tot += contour_crossings(zp, (0.5,)).sum()
+    assert tot == full
