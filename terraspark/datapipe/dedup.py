@@ -380,3 +380,53 @@ def paragraph_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
             .select("doc_id", "n_paras",
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept"), "kept_md5"))
+
+
+def substring_dup_coverage(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Exact duplicate-substring coverage (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    arXiv:2107.06499, at n-token granularity): for every document, the
+    EXACT number of token positions covered by at least one n-gram that
+    also occurs verbatim in ANOTHER document.  Returns per doc
+    (n_toks, n_dup_grams, covered_tokens, coverage) -- a filter stage
+    drops/trims docs above a coverage threshold.
+
+    Coverage is the size of the union of [s, s+n-1] intervals over the
+    doc's duplicated gram starts, computed with one per-doc ordered
+    window: sum(min(n, s_i - s_{i-1})) with the first term n.  Cross-doc
+    only -- a gram repeated inside a single document does not count.
+
+    Scale shape: grams are md5-hashed (16-byte keys, the token text
+    never shuffles twice); the duplicate-gram table is one groupBy with
+    HAVING over distinct doc counts; the interval union windows over a
+    doc's OWN duplicated grams only (bounded by doc length, no corpus-
+    wide sort).  This is the exact-substring complement of MinHash
+    (whole-doc similarity) and paragraph_dedup (block-exact)."""
+    from pyspark.sql import Window
+    w = spread_input(docs).select("doc_id", F.split("text", " ").alias("w"))
+    lens = w.select("doc_id", F.size("w").cast("long").alias("n_toks"))
+    grams = (w.where(F.size("w") >= n)
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(0, size(w) - {n}), "
+                 f"i -> struct(i as s, md5(concat_ws(' ', "
+                 f"slice(w, i + 1, {n}))) as g))")).alias("e"))
+             .select("doc_id", "e.s", "e.g"))
+    dupg = (grams.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2).select("g"))
+    dup = grams.join(dupg, "g").select("doc_id", "s")
+    win = Window.partitionBy("doc_id").orderBy("s")
+    step = F.least(F.lit(n), F.col("s") - F.lag("s").over(win))
+    cov = (dup.withColumn("step", F.coalesce(step, F.lit(n)))
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("n_dup_grams"),
+                F.sum("step").cast("long").alias("covered_tokens")))
+    return (lens.join(cov, "doc_id", "left")
+            .select("doc_id", "n_toks",
+                    F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+                    .alias("n_dup_grams"),
+                    F.coalesce("covered_tokens", F.lit(0)).cast("long")
+                    .alias("covered_tokens"))
+            .withColumn("coverage",
+                        F.round(F.col("covered_tokens")
+                                / F.col("n_toks"), 6)))

@@ -246,7 +246,8 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
                   max_cell: int = DEFAULT_MAX_CELL,
                   sub_block: int = SUB_BLOCK,
                   n_blocks: int = 8,
-                  centroids: DataFrame | None = None) -> DataFrame:
+                  centroids: DataFrame | None = None,
+                  assign: DataFrame | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by IVF cell: the
     quadratic comparison only runs inside each centroid's bucket (the
     embedding analogue of LSH banding).  Cells above ``max_cell`` are
@@ -266,8 +267,11 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
 
     ``centroids`` (centroid_id, cvec double[]) swaps the lowest-vec_id
     stand-in cells for trained ones (clustering.kmeans_centroids) --
-    the blocking gets tighter, the pair semantics are unchanged."""
-    assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
+    the blocking gets tighter, the pair semantics are unchanged.  A
+    caller that already assigned (semdedup) passes ``assign`` to avoid
+    recomputing it."""
+    if assign is None:
+        assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
     sizes = assign.groupBy("centroid_id").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_cell) \
         .select("centroid_id", (F.col("_n") > sub_block).alias("_big"))
@@ -400,16 +404,22 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.8,
     cent = kmeans_centroids(embeddings, k=n_centroids, iters=iters)
     cent = cent.persist()
     try:
-        assign = ivf_assign(embeddings, n_centroids, centroids=cent)
+        assign = ivf_assign(embeddings, n_centroids, centroids=cent) \
+            .persist()
         pairs = neardup_pairs(embeddings, threshold, n_centroids,
-                              max_cell, sub_block, n_blocks, centroids=cent)
+                              max_cell, sub_block, n_blocks,
+                              centroids=cent, assign=assign)
         dropped = (pairs.select(F.col("vec_b").alias("vec_id")).distinct()
                    .withColumn("_drop", F.lit(True)))
         out = (assign.join(dropped, "vec_id", "left")
                .select("vec_id", F.col("centroid_id").alias("cluster"),
                        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))
-        # materialize before unpersisting the centroid table the plan uses
+        # materialize before unpersisting the tables the plan uses
         out = out.localCheckpoint(eager=True)
     finally:
         cent.unpersist()
+        try:
+            assign.unpersist()
+        except NameError:
+            pass
     return out

@@ -257,3 +257,25 @@ def test_bm25_hand_case(spark):
     assert [r["doc_id"] for r in out] == [1, 3]       # doc2 never scores
     assert abs(out[0]["score"] - round(s1, 6)) <= 1e-6
     assert abs(out[1]["score"] - round(s3, 6)) <= 1e-6
+
+
+def test_substring_dup_coverage_interval_union(spark):
+    from terraspark.datapipe import dedup
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h x y"),      # shares gram at s=0 -> 8/10
+         (2, "z a b c d e f g h"),        # shares gram at s=1 -> 8/9
+         (3, "q r s t u v w"),            # 7 tokens: no grams at all
+         (4, "a b c d e f g h i"),        # exact pair with doc 5:
+         (5, "a b c d e f g h i")],       # overlapping grams s=0,1 -> 9/9
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.substring_dup_coverage(docs).collect()}
+    assert len(out) == 5
+    assert (out[1]["n_dup_grams"], out[1]["covered_tokens"]) == (1, 8)
+    assert out[1]["coverage"] == 0.8
+    assert (out[2]["covered_tokens"], out[2]["n_toks"]) == (8, 9)
+    assert out[3]["n_dup_grams"] == 0 and out[3]["coverage"] == 0.0
+    # overlap union: two dup grams 1 apart cover 9 tokens, not 16
+    for d in (4, 5):
+        assert (out[d]["n_dup_grams"], out[d]["covered_tokens"]) == (2, 9)
+        assert out[d]["coverage"] == 1.0
