@@ -297,6 +297,25 @@ def main():
     pd.DataFrame(crows).to_parquet(f"{OUT}/expected_contours.parquet",
                                    index=False)
 
+    # affine warp: full-plane bilinear resample (warp.warp_plane shares
+    # the sampling expression with the tiled engine), per-target-tile
+    # f64 sums
+    from terraspark.warp import WarpSpec, warp_plane
+    spec = WarpSpec(h=384, w=704, ht=192, wt=320, oy=0.7, ox=0.3)
+    wrows = []
+    for k in sorted(grids):
+        plane = warp_plane(grids[k], spec)
+        assert not np.isnan(plane).any()
+        for ty in range(spec.ht // TILE):
+            for tx in range(spec.wt // TILE):
+                blk = plane[ty * TILE:(ty + 1) * TILE,
+                            tx * TILE:(tx + 1) * TILE]
+                wrows.append({"dem_id": f"dem_{k}", "tile_x": tx,
+                              "tile_y": ty,
+                              "warp_sum": half_up(float(blk.sum()), 4)})
+    pd.DataFrame(wrows).to_parquet(f"{OUT}/expected_warp.parquet",
+                                   index=False)
+
     # ---------------- typed (dtype-lattice) fixture set: uint16/byte/int16
     # sources with per-type default NDV (SURVEY section 1.2)
     timages, tscenes, tdem, taoi, tgrids = build_tables(
