@@ -177,3 +177,52 @@ def stream_static_join(spark: SparkSession, docs_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# ------------------------------------------------------ stream-stream join
+def stream_stream_join(spark: SparkSession, events_dir: str, out_dir: str,
+                       checkpoint_dir: str, interval: str = "1 hour",
+                       watermark: str = "2 hours") -> None:
+    """STREAM-STREAM interval join (the fourth streaming shape): view
+    events joined to purchase events of the same user that happen within
+    ``interval`` AFTER the view.  Both sides carry a WATERMARK and the
+    join condition bounds event-time distance, so Spark can evict
+    matched/expired rows from the join state -- the canonical bounded-
+    state stream-stream equi+range join.
+
+    Exactly-once: availableNow + shared checkpoint, file-sink manifest.
+    State bound: each side keeps only rows newer than
+    watermark + interval -- independent of total stream length.
+
+    Determinism contract (what the oracle relies on): when the whole
+    input is drained in the FIRST batch (single drop), no row is ever
+    late and the result is exactly the batch interval join.  Across
+    multiple time-ordered drops, rows older than the watermark at their
+    arrival batch may be dropped (tested, not oracled -- same policy as
+    stream_windowed_counts)."""
+    ev = (spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user_id"),
+                    F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", watermark))
+    j = views.join(
+        buys,
+        F.expr(f"user_id = b_user_id AND buy_ts >= view_ts "
+               f"AND buy_ts <= view_ts + interval {interval}"),
+        "inner").select(
+            "user_id", "view_id", "buy_id",
+            (F.unix_timestamp("buy_ts")
+             - F.unix_timestamp("view_ts")).alias("gap_sec"))
+    q = (j.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -372,3 +372,36 @@ def test_stream_cell_rollup_matches_batch(spark, stream_env, tmp_path):
         assert s["n"] == b["n"]
         for c in ("mean", "std", "vmin", "vmax"):
             assert s[c] == b[c], (key, c)
+
+
+def test_stream_stream_join_cross_drop_and_exactly_once(spark, tmp_path):
+    from terraspark.datapipe import streamops
+    src = tmp_path / "ssj_in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "ssj_out"), str(tmp_path / "ssj_ckpt")
+
+    def ev(eid, ts, uid, typ):
+        return {"event_id": eid, "ts": pd.Timestamp(ts), "user_id": uid,
+                "event_type": typ, "value": 1.0}
+
+    def write(rows, name):
+        df = pd.DataFrame(rows)
+        df = df.assign(ts=df["ts"].astype("datetime64[us]"))
+        df.to_parquet(str(src / name), index=False)
+
+    # drop 0: a view; drop 1 (30 min later): the matching purchase --
+    # the view lives in join state across the batch boundary
+    write([ev(1, "2024-01-01 10:00:00", 7, "view"),
+           ev(2, "2024-01-01 10:10:00", 8, "view")], "drop-0.parquet")
+    streamops.stream_stream_join(spark, str(src), out, ckpt)
+    write([ev(3, "2024-01-01 10:30:00", 7, "purchase"),
+           ev(4, "2024-01-01 12:00:00", 8, "purchase")], "drop-1.parquet")
+    streamops.stream_stream_join(spark, str(src), out, ckpt)
+    got = {(r["user_id"], r["view_id"], r["buy_id"], r["gap_sec"])
+           for r in spark.read.parquet(out).collect()}
+    # user 7 joins (30 min gap); user 8's purchase is 110 min after the
+    # view -- outside the 1 h interval, never emitted
+    assert got == {(7, 1, 3, 1800)}
+    # re-invoking with no new files appends nothing (exactly-once)
+    streamops.stream_stream_join(spark, str(src), out, ckpt)
+    assert spark.read.parquet(out).count() == 1
