@@ -108,7 +108,8 @@ def test_temperature_mixture_upweights_small_source(spark):
         assert out[src]["p_sample"] == round(p, 6)
         exp = sum(1 for i in range(10)
                   if rows[i][1] == src
-                  and (48271 * i + 11) % 2147483647
+                  and (48271 * ((48271 * i + 11) % 2147483647)
+                       + 11) % 2147483647
                   < math.floor(p * 2147483647))
         assert out[src]["n_sampled"] == exp
     # temperature upweights the small source's per-doc probability
