@@ -53,3 +53,20 @@ def test_warp_tiles_bit_equal_to_plane(spark):
         want = plane[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
         # engine emits f32; compare at f32 precision, bit-exact
         assert np.array_equal(blk, want.astype(np.float32)), (ty, tx)
+
+
+def test_warp_plan_single_exchange(spark):
+    # one exchange total: emit (map) -> repartition by target tile ->
+    # assemble (map); no extra sort-merge or aggregate exchanges
+    z = np.zeros((8, 8), dtype=np.float32)
+    rows = [("img_a", 0, tx, ty,
+             bytearray(np.ascontiguousarray(
+                 z[ty * 4:(ty + 1) * 4, tx * 4:(tx + 1) * 4],
+                 dtype="<f4").tobytes()))
+            for ty in range(2) for tx in range(2)]
+    df = spark.createDataFrame(
+        rows, "image_id string, band int, tile_x int, tile_y int, px binary")
+    spec = WarpSpec(h=8, w=8, ht=4, wt=4, tile=4)
+    plan = warp_tiles(df, spec, partitions=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
