@@ -93,10 +93,21 @@ def test_registry_fronts_unverdicted_queries():
     op; and the oracle keys must be a subset of the registry."""
     q = E.queries()
     names = list(q)
-    assert names[:8] == [
-        "img_convolve", "img_morphology", "img_resample",
-        "img_hist_equalize", "img_psnr_audit", "img_knn_ring",
-        "img_reassemble", "dp_stream_window"]
+    front = [n for n in E.NEVER_VERDICTED if n in q]
+    assert names[:len(front)] == front
+    # and the front block really is the never-verdicted set: every
+    # registry key with a green row in a committed CORRECTNESS report
+    # sits behind it
+    import json
+    seen = set()
+    for r in (1, 2, 3):
+        rep = json.load(open(os.path.join(
+            os.path.dirname(E.__file__), f"CORRECTNESS_r0{r}.json")))
+        seen |= {k for k, v in rep.items() if isinstance(v, dict)
+                 and v.get("rows_match") and v.get("err") is None}
+    assert not (set(front) & seen), sorted(set(front) & seen)
+    assert set(names[len(front):]) <= seen, \
+        sorted(set(names[len(front):]) - seen)
     o = E.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
     # rows-only ops (no closed-form SQL) are the documented exceptions
