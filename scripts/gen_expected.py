@@ -110,6 +110,9 @@ def main():
         rows.append({
             "image_id": r["image_id"], "caption": r["caption"],
             "mean_px": half_up(float(band.mean()), 4),
+            # independent decode-level recompute of the input table's
+            # perceptual hash (oracle for the phash near-dup join)
+            "phash": int(codecs.dhash64(px)),
         })
     pd.DataFrame(rows).to_parquet(f"{OUT}/expected_images.parquet", index=False)
 
