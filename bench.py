@@ -137,6 +137,24 @@ def run_image_pipeline(spark, data_dir: str, warmup: bool = True) -> dict:
     }
 
 
+def run_phash_dedup(spark, data_dir: str) -> float:
+    """Image-corpus near-dup dedup over the bench images table: banded
+    Hamming self-join on the phash column + CC resolution.  Only
+    (image_id, phash) is read -- the binary payload stays in the parquet
+    files (column pruning), so this times the dedup shuffle, not a scan
+    of the image bytes.  The 4-hill fixture corpus has thousands of
+    natural radius-3 pairs, so the CC stage does real transitive work."""
+    from pyspark.sql import functions as F
+    from terraspark import imagedup
+    t0 = time.time()
+    images = spark.read.parquet(f"{data_dir}/images.parquet") \
+        .select("image_id", "phash")
+    dec = imagedup.phash_dedup(images, max_dist=3)
+    dec.agg(F.count("*"), F.expr(
+        "bit_xor(xxhash64(image_id, cluster, n_members, keep))")).collect()
+    return round(time.time() - t0, 3)
+
+
 def _warm(spark, data_dir: str):
     """One tiny end-to-end slice: spins up Python worker pools / JIT."""
     from pyspark.sql import functions as F
@@ -162,7 +180,7 @@ def run_datapipe(spark, sf_dir: str) -> dict:
              "dp_decontaminate", "dp_pq_encode", "dp_ann_pq", "dp_lm_score",
              "dp_paragraph_dedup", "dp_bloom_prune", "dp_mixture_sample",
              "dp_skew_audit", "dp_hard_negatives", "dp_bm25",
-             "dp_semdedup", "dp_lm_bigram",
+             "dp_semdedup", "dp_lm_bigram", "dp_pack_sequences",
              "rel_tpch_q1", "rel_tpch_q5", "rel_tpch_q3", "rel_rose_means",
              "rel_stats_bundle", "rel_rank_topk", "rel_broadcast_join_agg",
              "rel_asof_join", "rel_json_extract", "rel_events_funnel"]
@@ -189,12 +207,14 @@ def main_default():
     spark = build_session("terraspark-bench", cores=CPUS,
                           max_partition_bytes="8m")
     img = run_image_pipeline(spark, data_dir)
+    t_phash = run_phash_dedup(spark, data_dir)
     dp = run_datapipe(spark, SF_DIR)
     spark.stop()
     queries = {"image_pipeline_total": img["t_total"],
                "image_join": img["t_join"],
                "image_scalar_stats": img["t_stats"],
-               "image_correct_11methods": img["t_correct"], **dp}
+               "image_correct_11methods": img["t_correct"],
+               "image_phash_dedup": t_phash, **dp}
     total = round(sum(queries.values()), 3)
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
     print(json.dumps({
