@@ -89,12 +89,18 @@ def connected_components(active: DataFrame, edges: DataFrame,
         # current label exists -- follow it one hop (path halving)
         ptr = merged.select(F.col("cell").alias("label"),
                             F.col("label").alias("jump"))
+        # carry the previous label through the SAME plan so convergence is
+        # read off the checkpointed blocks -- a plain filter-count, not a
+        # second shuffle join per round (the loop's per-round cost is all
+        # small-job overhead at fixture scale, and one fewer exchange per
+        # round at corpus scale)
         new = (merged.join(ptr, "label")
-               .select("cell", F.least("label", "jump").alias("label"))
+               .join(labels.withColumnRenamed("label", "old"), "cell")
+               .select("cell", F.least("label", "jump").alias("label"),
+                       "old")
                .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "cell")
-                   .where(F.col("label") != F.col("old")).count())
-        labels = new
+        changed = new.where(F.col("label") != F.col("old")).count()
+        labels = new.select("cell", "label")
         if changed == 0:
             break
     return labels
