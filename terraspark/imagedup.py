@@ -112,22 +112,18 @@ def phash_neardup(images: DataFrame, max_dist: int = 3,
             .distinct())
 
 
-def phash_dedup(images: DataFrame, max_dist: int = 3,
-                band_bits: int = 16,
-                max_bucket: int = DEFAULT_MAX_BUCKET,
-                max_iter: int = 30) -> DataFrame:
-    """Resolve the Hamming ball into dedup decisions:
+def resolve_pairs(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Close (image_a, image_b) pairs transitively into dedup decisions:
     (image_id, cluster, n_members, keep) -- one row per image appearing
-    in at least one near-dup pair; singletons are implicitly kept.
+    in at least one pair; singletons are implicitly kept.
 
     cluster = MIN image_id of the connected component (near-duplication
-    is not transitive, so pairs are closed transitively with the
-    distributed min-label/pointer-jumping CC); keep = True exactly for
-    that canonical member, so ``where(~keep)`` is the drop list.
+    is not transitive, so pairs are closed with the distributed
+    min-label/pointer-jumping CC); keep = True exactly for that
+    canonical member, so ``where(~keep)`` is the drop list.
     """
     from terraspark.vectorize import connected_components
-    pairs = phash_neardup(images, max_dist, band_bits, max_bucket) \
-        .select("image_a", "image_b").localCheckpoint()
+    pairs = pairs.select("image_a", "image_b").localCheckpoint()
     nodes = (pairs.select(F.col("image_a").alias("cell"))
              .unionByName(pairs.select(F.col("image_b").alias("cell")))
              .distinct())
@@ -143,3 +139,45 @@ def phash_dedup(images: DataFrame, max_dist: int = 3,
                     F.col("label").alias("cluster"),
                     F.col("n_members").cast("long").alias("n_members"),
                     (F.col("cell") == F.col("label")).alias("keep")))
+
+
+def phash_dedup(images: DataFrame, max_dist: int = 3,
+                band_bits: int = 16,
+                max_bucket: int = DEFAULT_MAX_BUCKET,
+                max_iter: int = 30) -> DataFrame:
+    """Hamming-ball near-dup resolution: see :func:`resolve_pairs`."""
+    return resolve_pairs(
+        phash_neardup(images, max_dist, band_bits, max_bucket), max_iter)
+
+
+def caption_edges(images: DataFrame) -> DataFrame:
+    """Star edges linking every image to the canonical (MIN image_id)
+    member of its exact-caption group: (image_a, image_b), a < b.
+
+    A caption shared by k images induces k-1 star edges instead of the
+    k(k-1)/2 clique -- identical connectivity for CC, linear instead of
+    quadratic in group size, so a viral caption ('untitled', '') cannot
+    explode a task the way a pair self-join would.  One groupBy + one
+    broadcast-able join on the caption hub table.
+    """
+    hubs = images.groupBy("caption").agg(F.min("image_id").alias("image_a"))
+    return (images.join(hubs, "caption")
+            .where(F.col("image_id") != F.col("image_a"))
+            .select("image_a", F.col("image_id").alias("image_b")))
+
+
+def joint_dedup(images: DataFrame, max_dist: int = 3,
+                band_bits: int = 16,
+                max_bucket: int = DEFAULT_MAX_BUCKET,
+                max_iter: int = 30) -> DataFrame:
+    """Cross-modal dedup over image+caption pairs: an edge exists when
+    EITHER the perceptual hashes are within ``max_dist`` OR the captions
+    are bit-identical; components are closed over the union, so a
+    re-captioned pixel-dup and a re-encoded caption-dup land in the same
+    cluster (the standard web-corpus curation rule: near-dup in any
+    modality = duplicate).
+    """
+    ph = phash_neardup(images, max_dist, band_bits, max_bucket) \
+        .select("image_a", "image_b")
+    cap = caption_edges(images.select("image_id", "caption"))
+    return resolve_pairs(ph.unionByName(cap).distinct(), max_iter)

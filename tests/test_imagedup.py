@@ -83,6 +83,35 @@ def test_dedup_resolution(spark, sig):
     assert drops == 12 - 5  # 5 clusters
 
 
+def test_caption_edges_are_star_shaped(spark):
+    rows = [("a", "dup cap"), ("b", "dup cap"), ("c", "dup cap"),
+            ("d", "unique")]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    got = sorted(map(tuple, imagedup.caption_edges(df).collect()))
+    # k-1 star edges from the min id, never the k(k-1)/2 clique
+    assert got == [("a", "b"), ("a", "c")]
+
+
+def test_joint_dedup_merges_across_modalities(spark, sig):
+    # bridge row: phash of img_000004, caption of img_000007 -- the two
+    # singletons must fold into ONE cluster via composed edges
+    caps = {f"img_{i:06d}": f"cap {i}" for i in range(8)}
+    rows = [(r["image_id"], r["phash"],
+             caps.get(r["image_id"][:10], "planted"))
+            for r in sig.collect()]
+    ph4 = dict((r[0], r[1]) for r in rows)["img_000004"]
+    rows.append(("bridge", ph4, "cap 7"))
+    df = spark.createDataFrame(
+        rows, "image_id string, phash long, caption string")
+    got = {r["image_id"]: r for r in
+           imagedup.joint_dedup(df, max_dist=3).collect()}
+    assert got["img_000004"]["cluster"] == got["img_000007"]["cluster"] \
+        == got["bridge"]["cluster"] == "bridge"  # 'bridge' < 'img_...'
+    assert got["img_000004"]["n_members"] == 3
+    # phash-only pair still present
+    assert got["img_000006"]["cluster"] == "img_000005"
+
+
 def test_partition_invariance(spark, sig):
     a = sorted(map(tuple, imagedup.phash_neardup(
         sig.repartition(1), max_dist=3).collect()))
