@@ -430,3 +430,74 @@ def substring_dup_coverage(docs: DataFrame, n: int = 8) -> DataFrame:
             .withColumn("coverage",
                         F.round(F.col("covered_tokens")
                                 / F.col("n_toks"), 6)))
+
+
+def incremental_dedup(corpus: DataFrame, new_docs: DataFrame,
+                      k: int = 5, seeds: int = 12, band_size: int = 6,
+                      threshold: float = 0.95,
+                      max_bucket: int = DEFAULT_MAX_BUCKET,
+                      max_tokens: int = MAX_VERIFY_TOKENS) -> DataFrame:
+    """Dedup a NEW shard against an EXISTING corpus plus itself -- the
+    continuous-crawl ingestion shape (each crawl snapshot dedups against
+    everything already kept, then within itself).
+
+    Returns one row per new doc: (doc_id, verdict) with verdict in
+    {'corpus_dup', 'shard_dup', 'kept'}:
+
+    * corpus_dup -- verified >= ``threshold`` Jaccard against at least
+      one corpus doc sharing an LSH bucket (dropped);
+    * shard_dup  -- no corpus match, but a non-canonical member of a
+      verified new-new near-dup cluster (transitive closure, canonical =
+      MIN doc_id; pairs touching a corpus_dup doc are excluded first,
+      since that doc is already dropped);
+    * kept       -- everything else.
+
+    Corpus-corpus pairs are never generated (the corpus is assumed
+    already deduplicated), so the pair stage's cost tracks the SHARD
+    size, not the corpus: at 100 TB the corpus side contributes only its
+    bucket rows to the band join.  Signatures are recomputed here for
+    both sides; a production deployment stores the corpus signature /
+    bucket table and unions it in, which this composition makes explicit
+    (everything downstream of ``lsh_buckets`` only sees bucket rows).
+    Doc ids must be globally unique across both inputs.
+    """
+    all_docs = corpus.select("doc_id", "text").unionByName(
+        new_docs.select("doc_id", "text"))
+    buckets = lsh_buckets(
+        minhash_shingle_signature(all_docs, k=k, seeds=seeds), band_size)
+    flags = new_docs.select("doc_id", F.lit(True).alias("is_new"))
+    tagged = (buckets.join(F.broadcast(flags), "doc_id", "left")
+              .withColumn("is_new", F.coalesce("is_new", F.lit(False))))
+    sizes = tagged.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_bucket).select("band", "bucket")
+    capped = tagged.join(ok, ["band", "bucket"])
+    a = capped.select("band", "bucket", F.col("doc_id").alias("doc_a"),
+                      F.col("is_new").alias("new_a"))
+    b = capped.select("band", "bucket", F.col("doc_id").alias("doc_b"),
+                      F.col("is_new").alias("new_b"))
+    pairs = (a.join(b, ["band", "bucket"])
+             .where((F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("new_a") | F.col("new_b")))
+             .select("doc_a", "doc_b", "new_a", "new_b").distinct())
+    ver = (jaccard_pairs(all_docs, pairs.select("doc_a", "doc_b"),
+                         max_tokens=max_tokens)
+           .where(F.col("jaccard") >= threshold)
+           .join(pairs, ["doc_a", "doc_b"]))
+    cross_dup = (ver.where(F.col("new_a") != F.col("new_b"))
+                 .select(F.when(F.col("new_a"), F.col("doc_a"))
+                         .otherwise(F.col("doc_b")).alias("doc_id"))
+                 .distinct())
+    nn = (ver.where(F.col("new_a") & F.col("new_b"))
+          .select("doc_a", "doc_b")
+          .join(cross_dup.withColumnRenamed("doc_id", "doc_a"),
+                "doc_a", "left_anti")
+          .join(cross_dup.withColumnRenamed("doc_id", "doc_b"),
+                "doc_b", "left_anti"))
+    shard_dup = dedup_clusters(nn).where(~F.col("keep")).select("doc_id")
+    return (new_docs.select("doc_id")
+            .join(cross_dup.withColumn("_c", F.lit(True)), "doc_id", "left")
+            .join(shard_dup.withColumn("_s", F.lit(True)), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("_c"), F.lit("corpus_dup"))
+                    .when(F.col("_s"), F.lit("shard_dup"))
+                    .otherwise(F.lit("kept")).alias("verdict")))
