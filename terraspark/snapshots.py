@@ -109,6 +109,41 @@ class SnapshotTable:
         """New snapshot replaces the whole visible set."""
         return self._write(df, "overwrite", lambda vis, sid: [sid])
 
+    def merge(self, changes: DataFrame, key_cols, op_col: str = "_op",
+              version_col: str | None = None) -> int:
+        """MERGE (CDC apply): a change row with op ``'D'`` deletes its
+        key; every other row upserts (replace-or-insert).  When
+        ``version_col`` is given, only the highest-version change per
+        key applies (CDC log compaction -- the shape a Debezium/binlog
+        batch arrives in); otherwise change keys must be unique.
+
+        Copy-on-write at visible-set granularity: the new snapshot is
+        ONE rewritten partition (base anti-join change-keys, union
+        surviving upserts), committed with the same atomic manifest
+        flow as append/overwrite -- so a crash mid-merge leaves the
+        parent snapshot intact and readable.  A production Iceberg
+        MERGE rewrites only the files that contain touched keys; the
+        commit/visibility model is identical, the rewrite granularity
+        here is the whole table because fixture snapshots are single
+        partitions.  The anti-join broadcasts the (small) change-key
+        set against the base scan, so the rewrite is one pass over the
+        base with no shuffle of the base side.
+        """
+        key_cols = list(key_cols)
+        ch = changes
+        if version_col is not None:
+            from pyspark.sql import Window
+            w = Window.partitionBy(*key_cols) \
+                .orderBy(F.col(version_col).desc())
+            ch = (ch.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn", version_col))
+        base = self.read()
+        keys = ch.select(*key_cols).distinct()
+        kept = base.join(F.broadcast(keys), key_cols, "left_anti")
+        ups = ch.where(F.col(op_col) != "D").drop(op_col)
+        return self._write(kept.unionByName(ups), "merge",
+                           lambda vis, sid: [sid])
+
     def rollback(self, to_snap: int) -> int:
         """Metadata-only: a NEW snapshot whose visible set is copied
         from ``to_snap``; no data is moved or deleted and the rolled-

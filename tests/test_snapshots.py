@@ -60,3 +60,36 @@ def test_empty_table_read_raises(spark, tmp_path):
     tbl = SnapshotTable(spark, str(tmp_path / "t"))
     with pytest.raises(NoSuchSnapshotError):
         tbl.read()
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, v bigint, _op string, _v int")
+
+
+def test_merge_upsert_delete_insert(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    s0 = tbl.overwrite(_df(spark, 0, 5))       # k=0..4, v=k*10
+    tbl.merge(spark.createDataFrame([
+        (1, 111, "U"),           # update
+        (3, None, "D"),          # delete
+        (50, 500, "U"),          # insert
+    ], "k bigint, v bigint, _op string"), ["k"])
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {0: 0, 1: 111, 2: 20, 4: 40, 50: 500}
+    # pre-merge snapshot untouched (time travel)
+    assert _keys(tbl, as_of=s0) == [0, 1, 2, 3, 4]
+    assert tbl.history()[-1]["op"] == "merge"
+
+
+def test_merge_version_compaction(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, 0, 3))
+    # a compacted CDC batch: key 1 updated twice then deleted; the
+    # highest version (the delete) must win; key 2's highest is an update
+    tbl.merge(_ch(spark, [
+        (1, 100, "U", 1), (1, 101, "U", 2), (1, None, "D", 3),
+        (2, 222, "U", 2), (2, 9, "U", 1),
+    ]), ["k"], version_col="_v")
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {0: 0, 2: 222}
