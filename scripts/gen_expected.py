@@ -116,6 +116,37 @@ def main():
         })
     pd.DataFrame(rows).to_parquet(f"{OUT}/expected_images.parquet", index=False)
 
+    # temporal median composite: scene_group = image index % 4, per-pixel
+    # float64 nanmedian across each group's epoch stack, per 64x64 tile --
+    # the plain-numpy model of composite.temporal_composite
+    decoded = {}
+    for idx, r in images.iterrows():
+        g = int(r["image_id"][4:]) % 4
+        decoded.setdefault(g, []).append(
+            codecs.decode(r["bytes"], r["fmt"], BANDS, IMG_H, IMG_W))
+    crows = []
+    t = 64
+    for g, planes in sorted(decoded.items()):
+        stack = np.stack(planes).astype(np.float64)  # (k, bands, h, w)
+        for b in range(BANDS):
+            for ty in range(IMG_H // t):
+                for tx in range(IMG_W // t):
+                    blk = stack[:, b, ty * t:(ty + 1) * t,
+                                tx * t:(tx + 1) * t]
+                    comp = np.nanmedian(blk, axis=0)
+                    valid = np.isfinite(comp)
+                    crows.append({
+                        "scene_group": g, "band": b,
+                        "tile_x": tx, "tile_y": ty,
+                        "n_epochs": len(planes),
+                        "n_valid": int(valid.sum()),
+                        "mean_val": half_up(float(np.nanmean(comp)), 4)
+                        if valid.any() else None,
+                    })
+    cdf = pd.DataFrame(crows)
+    cdf["n_valid"] = cdf["n_valid"].astype("int64")
+    cdf.to_parquet(f"{OUT}/expected_composite.parquet", index=False)
+
     # lossy WRITE-path PSNR gate (north-rule >= 40 dB): the cosine_t
     # corrected plane (continuous values -- never on the quantizer
     # lattice, unlike a decode-again roundtrip which is degenerately
