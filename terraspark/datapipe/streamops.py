@@ -226,3 +226,38 @@ def stream_stream_join(spark: SparkSession, events_dir: str, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# ------------------------------------------------- streaming CDC apply
+def stream_merge_upsert(spark: SparkSession, changes_dir: str,
+                        changes_ddl: str, table, key_cols,
+                        checkpoint_dir: str, op_col: str = "_op",
+                        version_col: str | None = None) -> None:
+    """Streaming CDC apply: change batches (upsert/delete rows) arrive
+    as files and each micro-batch is applied to an Iceberg-style
+    snapshot table via ``foreachBatch`` -> ``SnapshotTable.merge`` --
+    the lakehouse ingestion pattern (Debezium topic -> MERGE INTO).
+
+    Exactly-once composition: the streaming checkpoint guarantees each
+    batch is HANDED to foreachBatch at least once; merge itself is
+    idempotent for a fixed batch (deletes of absent keys are no-ops,
+    re-upserts replace identical rows), so a crash-replayed batch
+    converges to the same table.  ``version_col`` compacts WITHIN a
+    batch; ACROSS batches the later batch wins per key (stream order),
+    which matches CDC log order when the producer emits batches in
+    commit order.  Each merge is one atomic snapshot commit, so readers
+    only ever see batch boundaries.
+    """
+    stream = spark.readStream.schema(changes_ddl).parquet(changes_dir)
+
+    def _apply(df: DataFrame, _batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        table.merge(df, key_cols, op_col=op_col, version_col=version_col)
+
+    q = (stream.writeStream
+         .foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

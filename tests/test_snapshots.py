@@ -93,3 +93,33 @@ def test_merge_version_compaction(spark, tmp_path):
     ]), ["k"], version_col="_v")
     got = {r["k"]: r["v"] for r in tbl.read().collect()}
     assert got == {0: 0, 2: 222}
+
+
+def test_stream_merge_upsert_exactly_once_and_idempotent(spark, tmp_path):
+    import pandas as pd
+    from terraspark.datapipe.streamops import stream_merge_upsert
+    ddl = "k bigint, v bigint, _op string, _v int"
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, 0, 4))
+    batch = pd.DataFrame({"k": [1, 2, 50],
+                          "v": pd.array([111, None, 500], dtype="Int64"),
+                          "_op": ["U", "D", "U"],
+                          "_v": pd.array([1, 1, 1], dtype="int32")})
+    batch.to_parquet(os.path.join(src, "drop-0.parquet"), index=False)
+    stream_merge_upsert(spark, src, ddl, tbl, ["k"], ckpt,
+                        version_col="_v")
+    state = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert state == {0: 0, 1: 111, 3: 30, 50: 500}
+    n_commits = len(tbl.history())
+    # drain again with no new files: checkpoint must prevent re-applying
+    # the processed batch (no new snapshot commit)
+    stream_merge_upsert(spark, src, ddl, tbl, ["k"], ckpt,
+                        version_col="_v")
+    assert len(tbl.history()) == n_commits
+    # crash-replay convergence: re-merging the SAME batch directly is a
+    # no-op on table content (deletes of absent keys no-op, re-upserts
+    # replace identical rows)
+    tbl.merge(spark.createDataFrame(batch, ddl), ["k"], version_col="_v")
+    assert {r["k"]: r["v"] for r in tbl.read().collect()} == state
