@@ -78,3 +78,30 @@ def learn_bpe(docs: DataFrame, n_merges: int = 8) -> DataFrame:
                .drop("_a", "_b").localCheckpoint())
     return spark.createDataFrame(
         merges, "round int, a string, b string, n long")
+
+
+def segment_counts(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply learned merges and count BPE tokens per document:
+    (doc_id, n_words, n_bpe_tokens).
+
+    The merge list is applied IN LEARNING ORDER to the distinct-word
+    table only (each rule is one chained JVM lambda over the
+    vocab-sized frame -- the corpus is never rewritten); the per-word
+    subword count then joins back to the per-doc word occurrences
+    (broadcast while the vocab fits) and one groupBy sums.  This is the
+    tokenize step of the trained tokenizer: corpus cost is one explode
+    + one join + one agg regardless of merge count.
+    """
+    toks = (spread_input(docs)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .where(F.col("w") != ""))
+    vocab = toks.select("w").distinct().withColumn("sym", F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    for a, b in merges:
+        vocab = (vocab.withColumn("_a", F.lit(a)).withColumn("_b", F.lit(b))
+                 .withColumn("sym", F.expr(MERGE_EXPR)).drop("_a", "_b"))
+    wtok = vocab.select("w", F.size("sym").alias("n_sub"))
+    return (toks.join(F.broadcast(wtok), "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_sub").cast("long").alias("n_bpe_tokens")))

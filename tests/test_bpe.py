@@ -52,3 +52,22 @@ def test_partition_invariance(spark):
     a = bpe.learn_bpe(docs.repartition(1), n_merges=4).collect()
     b = bpe.learn_bpe(docs.repartition(9, "text"), n_merges=4).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_segment_counts(spark):
+    docs = _docs(spark, ["low low lower", "newest low"])
+    merges = [(r["a"], r["b"]) for r in
+              bpe.learn_bpe(docs, n_merges=2).collect()]
+    assert merges == [("l", "o"), ("lo", "w")]
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in
+           bpe.segment_counts(docs, merges).collect()}
+    # after (l,o)+(lo,w): low=[low]=1, lower=[low,e,r]=3,
+    # newest=[n,e,w,e,s,t]=6 ('w' inside newest is a mid-word symbol,
+    # merged only when adjacent to 'lo')
+    assert got == {0: (3, 1 + 1 + 3), 1: (2, 6 + 1)}
+
+
+def test_segment_with_no_merges_counts_chars(spark):
+    docs = _docs(spark, ["ab cde"])
+    got = bpe.segment_counts(docs, []).collect()[0]
+    assert (got["n_words"], got["n_bpe_tokens"]) == (2, 5)
