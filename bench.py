@@ -181,6 +181,7 @@ def run_datapipe(spark, sf_dir: str) -> dict:
              "dp_paragraph_dedup", "dp_bloom_prune", "dp_mixture_sample",
              "dp_skew_audit", "dp_hard_negatives", "dp_bm25",
              "dp_semdedup", "dp_lm_bigram", "dp_pack_sequences",
+             "dp_dsir", "dp_bpe", "dp_incremental_dedup",
              "rel_tpch_q1", "rel_tpch_q5", "rel_tpch_q3", "rel_rose_means",
              "rel_stats_bundle", "rel_rank_topk", "rel_broadcast_join_agg",
              "rel_asof_join", "rel_json_extract", "rel_events_funnel"]
