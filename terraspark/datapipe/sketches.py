@@ -126,3 +126,48 @@ def hist_quantile(df: DataFrame, group_cols: list[str], value_col: str,
         .otherwise(F.col("lo"))
     return packed.select(*g, F.col("n").cast("long").alias("n"),
                          F.round(est, 6).alias("est_q"))
+
+
+# ------------------------------------------------- count-min heavy hitters
+CMS_D = 4                                  # hash rows (seeds)
+CMS_W = 64                                 # buckets per row
+
+
+def cms_heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
+                      d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Count-min sketch next to exact counts for the top-k values:
+    (v, exact, cms_est), cms_est >= exact always (one-sided error).
+
+    The third mergeable sketch beside hll_distinct and hist_quantile:
+    the sketch is a d x w integer matrix (groupBy (seed, bucket) with
+    map-side combine -- merge across datasets = cell-wise SUM), the
+    estimate is the MIN over the d rows a value hashes into.  Buckets
+    come from the same portable md5-hex instr arithmetic as
+    hll_distinct, so the SQL oracle reproduces the matrix and every
+    estimate exactly.  ``w`` is deliberately small so fixture-scale
+    collisions make the overestimate visibly non-vacuous.
+
+    Top-k selection is on EXACT counts with a (count DESC, v) tie-break
+    -- the deterministic baseline the sketch is judged against; at
+    corpus scale the exact side drops and the sketch answers alone.
+    """
+    hexd = "0123456789abcdef"
+    vals = df.select(F.col(value_col).cast("string").alias("v"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    hashed = vals.select("v", seeds).withColumn(
+        "_h", F.md5(F.concat_ws("_", "v", "seed")))
+    bucket = (((F.expr(f"instr('{hexd}', substr(_h, 1, 1))") - 1) * 16
+               + (F.expr(f"instr('{hexd}', substr(_h, 2, 1))") - 1)) % w)
+    cms = (hashed.withColumn("bucket", bucket)
+           .groupBy("seed", "bucket").agg(F.count("*").alias("c")))
+    top = (vals.groupBy("v").agg(F.count("*").alias("exact"))
+           .orderBy(F.desc("exact"), "v").limit(k))
+    tb = (top.select("v", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+                     .alias("seed"))
+          .withColumn("_h", F.md5(F.concat_ws("_", "v", "seed")))
+          .withColumn("bucket", bucket))
+    return (tb.join(cms, ["seed", "bucket"])
+            .groupBy("v").agg(F.min("c").cast("long").alias("cms_est"))
+            .join(top, "v")
+            .select("v", F.col("exact").cast("long").alias("exact"),
+                    "cms_est"))

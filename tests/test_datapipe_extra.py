@@ -279,3 +279,21 @@ def test_substring_dup_coverage_interval_union(spark):
     for d in (4, 5):
         assert (out[d]["n_dup_grams"], out[d]["covered_tokens"]) == (2, 9)
         assert out[d]["coverage"] == 1.0
+
+
+def test_cms_heavy_hitters_one_sided_and_exact_on_singletons(spark):
+    from terraspark.datapipe import sketches
+    from pyspark.sql import functions as F
+    rows = [("a",)] * 50 + [("b",)] * 20 + [(f"rare{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "tok string")
+    got = {r["v"]: (r["exact"], r["cms_est"]) for r in
+           sketches.cms_heavy_hitters(df, "tok", k=5).collect()}
+    assert len(got) == 5
+    # one-sided error: estimate never undercounts
+    assert all(est >= ex for ex, est in got.values())
+    assert got["a"][0] == 50 and got["b"][0] == 20
+    # merge-across-datasets equivalence: sketch of the union == cellwise
+    # sum, so estimates over df+df double exactly
+    got2 = {r["v"]: r["cms_est"] for r in sketches.cms_heavy_hitters(
+        df.unionAll(df), "tok", k=5).collect()}
+    assert all(got2[v] == 2 * got[v][1] for v in got)
