@@ -147,6 +147,42 @@ def main():
     cdf["n_valid"] = cdf["n_valid"].astype("int64")
     cdf.to_parquet(f"{OUT}/expected_composite.parquet", index=False)
 
+    # overview pyramid: whole-plane 2x box-nanmean per level, stored
+    # float32 between levels (the on-disk dtype), re-tiled at 64 -- the
+    # plain-numpy model of overviews.overview_pyramid (band 0)
+    orows = []
+    t = 64
+    for idx, r in images.iterrows():
+        plane = codecs.decode(r["bytes"], r["fmt"], BANDS, IMG_H, IMG_W)[0] \
+            .astype("<f4")
+        for level in (1, 2):
+            p64 = plane.astype(np.float64)
+            h = p64.shape[0] // 2
+            blk = p64.reshape(h, 2, h, 2).transpose(0, 2, 1, 3) \
+                .reshape(h, h, 4)
+            with np.errstate(all="ignore"):
+                down = np.nanmean(blk, axis=2)
+            plane = down.astype("<f4")
+            nty = max(1, plane.shape[0] // t)
+            ntx = max(1, plane.shape[1] // t)
+            for ty in range(nty):
+                for tx in range(ntx):
+                    tile = np.full((t, t), np.nan, dtype=np.float64)
+                    src = plane[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t] \
+                        .astype(np.float64)
+                    tile[:src.shape[0], :src.shape[1]] = src
+                    valid = np.isfinite(tile)
+                    orows.append({
+                        "image_id": r["image_id"], "level": level,
+                        "tile_x": tx, "tile_y": ty,
+                        "n_valid": int(valid.sum()),
+                        "mean_val": half_up(float(np.nanmean(tile)), 4)
+                        if valid.any() else None,
+                    })
+    odf = pd.DataFrame(orows)
+    odf["n_valid"] = odf["n_valid"].astype("int64")
+    odf.to_parquet(f"{OUT}/expected_overviews.parquet", index=False)
+
     # lossy WRITE-path PSNR gate (north-rule >= 40 dB): the cosine_t
     # corrected plane (continuous values -- never on the quantizer
     # lattice, unlike a decode-again roundtrip which is degenerately
