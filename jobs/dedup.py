@@ -50,7 +50,8 @@ def main():
     stats = dedup.exact_stats(docs).collect()[0].asDict()
 
     buckets = dedup.lsh_buckets(dedup.minhash_signature(docs))
-    max_bucket = args.max_bucket or dedup.DEFAULT_MAX_BUCKET
+    max_bucket = dedup.DEFAULT_MAX_BUCKET \
+        if args.max_bucket is None else args.max_bucket
     n_capped = dedup.bucket_audit(buckets, max_bucket).count()
     cand = dedup.candidate_pairs(buckets, max_bucket)
     verified = dedup.jaccard_pairs(docs, cand) \

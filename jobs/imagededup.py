@@ -52,7 +52,8 @@ def main():
 
     cols = ["image_id", "phash"] + (["caption"] if args.captions else [])
     images = spark.read.parquet(args.images).select(*cols)
-    max_bucket = args.max_bucket or imagedup.DEFAULT_MAX_BUCKET
+    max_bucket = imagedup.DEFAULT_MAX_BUCKET \
+        if args.max_bucket is None else args.max_bucket
     t0 = time.time()
 
     n_images = images.count()
@@ -64,6 +65,10 @@ def main():
     if args.captions:
         pairs = pairs.unionByName(imagedup.caption_edges(
             images.select("image_id", "caption"))).distinct()
+    # materialize the pair plan ONCE: the count below, and the CC loop's
+    # own checkpoint inside resolve_pairs, would otherwise each re-run
+    # the banded shuffle + verify pipeline
+    pairs = pairs.localCheckpoint()
     n_pairs = pairs.count()
 
     clusters = imagedup.resolve_pairs(pairs)

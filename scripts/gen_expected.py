@@ -163,8 +163,11 @@ def main():
             with np.errstate(all="ignore"):
                 down = np.nanmean(blk, axis=2)
             plane = down.astype("<f4")
-            nty = max(1, plane.shape[0] // t)
-            ntx = max(1, plane.shape[1] // t)
+            # ceil-divide: a partial tile row/column still gets a parent
+            # tile in the engine (NaN-padded quadrants), so the model
+            # must emit it too
+            nty = max(1, -(-plane.shape[0] // t))
+            ntx = max(1, -(-plane.shape[1] // t))
             for ty in range(nty):
                 for tx in range(ntx):
                     tile = np.full((t, t), np.nan, dtype=np.float64)

@@ -50,8 +50,10 @@ def temporal_composite(tiles: DataFrame, stat: str = "median") -> DataFrame:
     n_valid counts non-NaN composite pixels (a pixel is NaN only when
     EVERY epoch masked it); mean_val is the float64 nanmean of the
     composite plane (NaN when the whole block is masked everywhere).
-    All arithmetic is float64 regardless of epoch count so the result
-    is independent of stacking order and bit-reproducible against the
+    All arithmetic is float64 and the epoch stack folds in canonical
+    image_id order (shuffle arrival order is not deterministic), so
+    every stat -- including the order-sensitive nanmean fold -- is
+    partition- and run-invariant and bit-reproducible against the
     numpy reference model.
     """
     if stat not in _STATS:
@@ -59,6 +61,11 @@ def temporal_composite(tiles: DataFrame, stat: str = "median") -> DataFrame:
     fn = _STATS[stat]
 
     def _reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical epoch order: shuffle arrival order is nondeterministic
+        # and nanmean/nanmax fold in stack order, so sort by image_id to
+        # make every stat (not just the order-free median) partition- and
+        # run-invariant
+        pdf = pdf.sort_values("image_id")
         stack = np.stack([
             np.frombuffer(b, dtype="<f4").reshape(TILE, TILE)
             for b in pdf["px"]]).astype(np.float64)
@@ -74,6 +81,7 @@ def temporal_composite(tiles: DataFrame, stat: str = "median") -> DataFrame:
             "px": [comp.astype("<f8").tobytes()],
         })
 
-    return (tiles.select("scene_group", "band", "tile_x", "tile_y", "px")
+    return (tiles.select("scene_group", "band", "tile_x", "tile_y",
+                         "image_id", "px")
             .groupBy("scene_group", "band", "tile_x", "tile_y")
             .applyInPandas(_reduce, COMPOSITE_SCHEMA))

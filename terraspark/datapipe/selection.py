@@ -30,12 +30,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .util import spread_input
+from .util import md5_bucket8, spread_input
 
 N_BUCKETS = 256
 ALPHA = 0.5
-
-_HEXD = "0123456789abcdef"
 
 
 def _bucketed_tokens(docs: DataFrame) -> DataFrame:
@@ -43,10 +41,8 @@ def _bucketed_tokens(docs: DataFrame) -> DataFrame:
     bucket = int of the first two md5 hex digits (0..255)."""
     toks = spread_input(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = F.md5("tok")
-    bucket = ((F.expr(f"instr('{_HEXD}', substr(md5(tok), 1, 1))") - 1) * 16
-              + (F.expr(f"instr('{_HEXD}', substr(md5(tok), 2, 1))") - 1))
-    return toks.select("doc_id", bucket.cast("int").alias("bucket"))
+    return toks.select(
+        "doc_id", md5_bucket8("md5(tok)").cast("int").alias("bucket"))
 
 
 def _bucket_counts(docs: DataFrame) -> DataFrame:

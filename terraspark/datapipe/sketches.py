@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import md5_bucket8
+
 HLL_P = 8
 HLL_M = 1 << HLL_P                       # 256 registers
 # same literal expression (and op order) the SQL oracle writes inline
@@ -41,9 +43,7 @@ def hll_distinct(df: DataFrame, group_cols: list[str],
     at real scale drop it and keep the sketch)."""
     hexd = "0123456789abcdef"
     d = df.withColumn("_h", F.md5(F.col(value_col).cast("string")))
-    bucket = ((F.expr(f"instr('{hexd}', substr(_h, 1, 1))") - 1) * 16
-              + (F.expr(f"instr('{hexd}', substr(_h, 2, 1))") - 1))
-    d = d.withColumn("_bucket", bucket) \
+    d = d.withColumn("_bucket", md5_bucket8("_h")) \
          .withColumn("_t", F.expr("trim(LEADING '0' FROM substr(_h, 3, 8))")) \
          .withColumn("_v", F.expr(f"instr('{hexd[1:]}', substr(_t, 1, 1))"))
     rho = F.when(F.length("_t") == 0, F.lit(33)).otherwise(
@@ -151,13 +151,11 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
     -- the deterministic baseline the sketch is judged against; at
     corpus scale the exact side drops and the sketch answers alone.
     """
-    hexd = "0123456789abcdef"
     vals = df.select(F.col(value_col).cast("string").alias("v"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
     hashed = vals.select("v", seeds).withColumn(
         "_h", F.md5(F.concat_ws("_", "v", "seed")))
-    bucket = (((F.expr(f"instr('{hexd}', substr(_h, 1, 1))") - 1) * 16
-               + (F.expr(f"instr('{hexd}', substr(_h, 2, 1))") - 1)) % w)
+    bucket = md5_bucket8("_h") % w
     cms = (hashed.withColumn("bucket", bucket)
            .groupBy("seed", "bucket").agg(F.count("*").alias("c")))
     top = (vals.groupBy("v").agg(F.count("*").alias("exact"))

@@ -1,7 +1,7 @@
 """Shared datapipe input-shape guards."""
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -58,3 +58,15 @@ def key_skew_audit(df, key_col: str, top: int = 10):
                     F.round(F.col("n_rows") / F.col("N"), 6).alias("share"),
                     F.round(F.col("n_rows") / F.col("avg_n"), 4)
                     .alias("skew")))
+
+
+def md5_bucket8(sql_expr: str):
+    """0..255 bucket from the first two hex digits of an md5-hex SQL
+    expression -- the repo's portable hash convention: pure ANSI
+    instr/substr arithmetic that every DuckDB oracle reproduces
+    verbatim (hll_distinct registers, count-min rows, DSIR features).
+    ``sql_expr`` must be a SQL fragment yielding the md5 hex string.
+    """
+    hexd = "0123456789abcdef"
+    return ((F.expr(f"instr('{hexd}', substr({sql_expr}, 1, 1))") - 1) * 16
+            + (F.expr(f"instr('{hexd}', substr({sql_expr}, 2, 1))") - 1))

@@ -121,24 +121,19 @@ def resolve_pairs(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     is not transitive, so pairs are closed with the distributed
     min-label/pointer-jumping CC); keep = True exactly for that
     canonical member, so ``where(~keep)`` is the drop list.
+
+    Thin column-rename wrapper over
+    :func:`terraspark.datapipe.dedup.dedup_clusters` (which also
+    documents the checkpoint/iteration tuning) -- the CC resolution
+    logic lives in one place; it is id-type-agnostic, so string image
+    ids work unchanged.
     """
-    from terraspark.vectorize import connected_components
-    pairs = pairs.select("image_a", "image_b").localCheckpoint()
-    nodes = (pairs.select(F.col("image_a").alias("cell"))
-             .unionByName(pairs.select(F.col("image_b").alias("cell")))
-             .distinct())
-    half = pairs.select(F.col("image_a").alias("src"),
-                        F.col("image_b").alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-    labels = connected_components(nodes, edges, max_iter)
-    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
-    return (labels.join(sizes, "label")
-            .select(F.col("cell").alias("image_id"),
-                    F.col("label").alias("cluster"),
-                    F.col("n_members").cast("long").alias("n_members"),
-                    (F.col("cell") == F.col("label")).alias("keep")))
+    from terraspark.datapipe.dedup import dedup_clusters
+    out = dedup_clusters(
+        pairs.select(F.col("image_a").alias("doc_a"),
+                     F.col("image_b").alias("doc_b")), max_iter)
+    return out.select(F.col("doc_id").alias("image_id"), "cluster",
+                      "n_members", "keep")
 
 
 def phash_dedup(images: DataFrame, max_dist: int = 3,

@@ -141,8 +141,11 @@ class SnapshotTable:
         keys = ch.select(*key_cols).distinct()
         kept = base.join(F.broadcast(keys), key_cols, "left_anti")
         ups = ch.where(F.col(op_col) != "D").drop(op_col)
-        return self._write(kept.unionByName(ups), "merge",
-                           lambda vis, sid: [sid])
+        # materialize once: _write both counts and writes its input, and
+        # this plan contains the full base scan + anti-join -- without a
+        # checkpoint every CDC batch would scan the base table twice
+        merged = kept.unionByName(ups).localCheckpoint()
+        return self._write(merged, "merge", lambda vis, sid: [sid])
 
     def rollback(self, to_snap: int) -> int:
         """Metadata-only: a NEW snapshot whose visible set is copied
