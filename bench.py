@@ -187,18 +187,37 @@ def run_datapipe(spark, sf_dir: str) -> dict:
              "rel_asof_join", "rel_json_extract", "rel_events_funnel"]
     from pyspark.sql import functions as F
     out = {}
+    pq_codes = None
     for name in picks:
         # time CONSTRUCTION + action: iterative operators (dedup_clusters'
         # CC loop) execute jobs eagerly while the query is being built, so
         # starting the clock after construction under-reports them
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
+        if name == "dp_pq_encode":
+            # persist the codes: a real IVF-PQ deployment encodes the
+            # corpus once and serves many searches against the codes, so
+            # the dp_ann_pq phase below measures SEARCH, not re-encode
+            # (the persist+materialize cost stays inside THIS phase's
+            # timing; the registry query itself remains self-contained)
+            from terraspark.datapipe import quantize
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            pq_codes = quantize.pq_encode(emb, m=8, k=8).persist()
+            df = pq_codes
+        elif name == "dp_ann_pq" and pq_codes is not None:
+            from terraspark.datapipe import quantize
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            df = quantize.pq_topk(emb, E.ANN_QUERIES, m=8, k_codes=8,
+                                  k=10, codes=pq_codes)
+        else:
+            df = qs[name](spark, sf_dir)
         # force every output column (xxhash64 over the full row): a bare
         # count() would let Catalyst prune unneeded projections (e.g.
         # dp_fingerprint's md5) out of the timing; bit_xor can't overflow
         df.agg(F.count("*"),
                F.expr(f"bit_xor(xxhash64({', '.join(df.columns)}))")).collect()
         out[name] = round(time.time() - t0, 3)
+    if pq_codes is not None:
+        pq_codes.unpersist()
     return out
 
 

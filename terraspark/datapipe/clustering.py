@@ -61,21 +61,25 @@ def _lloyd(e: DataFrame, k: int, iters: int):
     assertion in tests/test_cluster_repetition.py."""
     init = e.orderBy("vec_id").limit(k).collect()
     centroids = np.array([r["vec"] for r in init], dtype=np.float64)
+    dim = centroids.shape[1]
     assigned = None
     for _ in range(iters):
         assigned = _assign(e, centroids)
-        # distributed centroid recompute: mean per (cluster, dim)
-        means = (assigned
-                 .select("cluster", F.posexplode("vec").alias("pos", "x"))
-                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
-                 .collect())
+        # Centroid recompute folded into the assignment pass (one job per
+        # iteration, VERDICT r4 item 3): groupBy(cluster) emits per-dim
+        # SUM partials + a count -- a k-row map-side-combined hash agg on
+        # the already-assigned frame.  The shuffle carries partitions x k
+        # rows of (dim+1) doubles and, unlike the previous
+        # posexplode(vec) -> groupBy(cluster, pos) shape, never generates
+        # the rows x dim exploded frame at all.  Mean = sum/n, the same
+        # partial-aggregation arithmetic F.avg performs.
+        sums = (assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("vec", i + 1)).alias(f"s{i}")
+              for i in range(dim)]).collect())
         new = centroids.copy()
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        for cid, dims in by_cluster.items():
-            for pos, m in dims.items():
-                new[cid, pos] = m
+        for r in sums:
+            new[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
         centroids = new
     return assigned, centroids
 

@@ -468,6 +468,12 @@ def incremental_dedup(corpus: DataFrame, new_docs: DataFrame,
     flags = new_docs.select("doc_id", F.lit(True).alias("is_new"))
     tagged = (buckets.join(F.broadcast(flags), "doc_id", "left")
               .withColumn("is_new", F.coalesce("is_new", F.lit(False))))
+    # The bucket table is consumed THREE times below (cap sizes + both
+    # sides of the band self-join); without a cut point each consumer
+    # re-runs the full char-shingle MinHash over corpus+shard.  The
+    # table itself is narrow -- docs x n_bands rows of
+    # (band, bucket, doc_id, flag) -- so materialize it once.
+    tagged = tagged.localCheckpoint(eager=True)
     sizes = tagged.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).select("band", "bucket")
     capped = tagged.join(ok, ["band", "bucket"])
@@ -479,10 +485,14 @@ def incremental_dedup(corpus: DataFrame, new_docs: DataFrame,
              .where((F.col("doc_a") < F.col("doc_b"))
                     & (F.col("new_a") | F.col("new_b")))
              .select("doc_a", "doc_b", "new_a", "new_b").distinct())
+    # Verified pairs feed cross_dup AND the new-new closure; checkpoint
+    # so the bounded-but-real Jaccard verify join runs once (pair count
+    # is capped by max_bucket banding, so this table is small).
     ver = (jaccard_pairs(all_docs, pairs.select("doc_a", "doc_b"),
                          max_tokens=max_tokens)
            .where(F.col("jaccard") >= threshold)
-           .join(pairs, ["doc_a", "doc_b"]))
+           .join(pairs, ["doc_a", "doc_b"])
+           .localCheckpoint(eager=True))
     cross_dup = (ver.where(F.col("new_a") != F.col("new_b"))
                  .select(F.when(F.col("new_a"), F.col("doc_a"))
                          .otherwise(F.col("doc_b")).alias("doc_id"))

@@ -32,6 +32,24 @@ LCG_B = 11
 LCG_P = 2_147_483_647
 
 
+def _minstd_draw(id_col: str):
+    """Two MINSTD LCG steps over the doc id, sign- and overflow-safe.
+
+    ``F.pmod`` keeps every step in [0, P): Spark's ``%`` is signed, so a
+    negative id would otherwise yield a negative draw that always passes
+    ``draw < thresh`` (row kept regardless of p_sample).  Reducing the id
+    mod P FIRST bounds the multiplicand, so ``LCG_A * x`` never exceeds
+    ~1.04e14 -- no int64 overflow for ANY long id (the naive
+    ``LCG_A * doc_id`` overflows at ids >= ~1.9e14, plausible for 64-bit
+    hashed ids).  For non-negative ids the value is unchanged --
+    (A*(id mod P)+B) mod P == (A*id+B) mod P -- so the SQL oracle's
+    direct form stays bit-identical on the documented domain.
+    """
+    x0 = F.pmod(F.col(id_col), F.lit(LCG_P))
+    x1 = F.pmod(F.lit(LCG_A) * x0 + F.lit(LCG_B), F.lit(LCG_P))
+    return F.pmod(F.lit(LCG_A) * x1 + F.lit(LCG_B), F.lit(LCG_P))
+
+
 def temperature_mixture(docs: DataFrame, source_col: str = "source",
                         id_col: str = "doc_id",
                         rate: float = 0.5) -> DataFrame:
@@ -47,8 +65,7 @@ def temperature_mixture(docs: DataFrame, source_col: str = "source",
          .withColumn("p", F.least(
              F.lit(1.0),
              F.lit(rate) * F.col("N") * F.col("weight") / F.col("n_docs"))))
-    x1 = (F.lit(LCG_A) * F.col(id_col) + F.lit(LCG_B)) % F.lit(LCG_P)
-    draw = (F.lit(LCG_A) * x1 + F.lit(LCG_B)) % F.lit(LCG_P)
+    draw = _minstd_draw(id_col)
     thresh = F.floor(F.col("p") * F.lit(LCG_P)).cast("long")
     sampled = (docs.select(source_col, F.col(id_col))
                .join(F.broadcast(w.select(source_col, "p")), source_col)
@@ -79,8 +96,7 @@ def sample_docs(docs: DataFrame, source_col: str = "source",
          .withColumn("p", F.least(
              F.lit(1.0),
              F.lit(rate) * F.col("N") * F.col("weight") / F.col("n_docs"))))
-    x1 = (F.lit(LCG_A) * F.col(id_col) + F.lit(LCG_B)) % F.lit(LCG_P)
-    draw = (F.lit(LCG_A) * x1 + F.lit(LCG_B)) % F.lit(LCG_P)
+    draw = _minstd_draw(id_col)
     thresh = F.floor(F.col("p") * F.lit(LCG_P)).cast("long")
     return (docs.select(F.col(id_col), F.col(source_col))
             .join(F.broadcast(w.select(source_col, "p")), source_col)

@@ -109,7 +109,8 @@ def pq_encode_sql(m: int = 8, k: int = 8, dim: int = 64,
 
 
 def pq_topk(embeddings: DataFrame, query_ids, m: int = 8,
-            k_codes: int = 8, k: int = 10) -> DataFrame:
+            k_codes: int = 8, k: int = 10,
+            codes: DataFrame | None = None) -> DataFrame:
     """Approximate top-k neighbors by PQ asymmetric distance (ADC,
     Jegou et al. 2011): per query, a LUT of squared distances from the
     query's subvectors to every codebook entry (nq x m x k_codes rows --
@@ -123,6 +124,12 @@ def pq_topk(embeddings: DataFrame, query_ids, m: int = 8,
     grid and rounding is boundary-free in both engines;
     rank by (adist asc, neighbor_id asc), self excluded.  All distance
     arithmetic is Spark-side with the same rounding the SQL oracle uses.
+
+    ``codes``: a precomputed :func:`pq_encode` result (vec_id, subspace,
+    code) for the SAME (m, k_codes) -- pass it when the caller already
+    encoded the corpus (a real IVF-PQ index encodes once and serves many
+    queries) so the search never re-runs the full-corpus encode; without
+    it the function stays self-contained and encodes internally.
     """
     from pyspark.sql import Window
 
@@ -147,9 +154,10 @@ def pq_topk(embeddings: DataFrame, query_ids, m: int = 8,
     lut = qdf.crossJoin(F.broadcast(cb)).select(
         "query_id", "subspace", "code", F.round(d2, 6).alias("d2"))
 
-    codes = pq_encode(embeddings, m=m, k=k_codes,
-                      _dim=dim, _seeds=seed_rows) \
-        .select("vec_id", "subspace", "code")
+    if codes is None:
+        codes = pq_encode(embeddings, m=m, k=k_codes,
+                          _dim=dim, _seeds=seed_rows)
+    codes = codes.select("vec_id", "subspace", "code")
     scored = (codes.join(F.broadcast(lut), ["subspace", "code"])
               .where(F.col("vec_id") != F.col("query_id"))
               .groupBy("query_id", "vec_id")

@@ -108,7 +108,7 @@ def flow_direction(elev: DataFrame) -> DataFrame:
                     .alias("n_inflow")))
 
 
-def flow_accumulation(flow: DataFrame, max_iter: int = 64) -> DataFrame:
+def flow_accumulation(flow: DataFrame, max_iter: int = 512) -> DataFrame:
     """(dem_id, cell, acc): D8 flow accumulation -- the number of cells
     (including itself) whose drainage path passes through each cell; the
     operator behind stream extraction and drainage-area thresholds.
@@ -135,6 +135,7 @@ def flow_accumulation(flow: DataFrame, max_iter: int = 64) -> DataFrame:
              .localCheckpoint())
     base = flow.select("dem_id", "cell").localCheckpoint()
     acc = base.withColumn("acc", F.lit(1).cast("long"))
+    changed = -1
     for _ in range(max_iter):
         inflow = (edges.join(
             acc.select("dem_id", F.col("cell").alias("src"),
@@ -152,6 +153,15 @@ def flow_accumulation(flow: DataFrame, max_iter: int = 64) -> DataFrame:
         acc = new
         if changed == 0:
             break
+    if changed != 0:
+        # An unconverged fixpoint is WRONG accumulation (paths longer
+        # than max_iter are silently truncated), and real terrain path
+        # lengths run to hundreds -- fail loudly instead of returning it.
+        raise RuntimeError(
+            f"flow_accumulation did not converge in {max_iter} rounds "
+            f"({changed} cells still changing); the longest flow path "
+            f"exceeds max_iter -- raise max_iter (rounds are bounded by "
+            f"terrain path length, not data size)")
     return acc
 
 
@@ -180,6 +190,7 @@ def watershed(flow: DataFrame, max_iter: int = 40) -> DataFrame:
         "dem_id", "cell",
         F.when(F.col("flow_dir") >= 0, _flow_target(step))
         .otherwise(F.col("cell")).alias("p")).localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
         hop = cur.select("dem_id", F.col("cell").alias("p"),
                          F.col("p").alias("gp"))
@@ -192,6 +203,12 @@ def watershed(flow: DataFrame, max_iter: int = 40) -> DataFrame:
         cur = nxt
         if changed == 0:
             break
+    if changed != 0:
+        # doubling resolves depth 2^max_iter, so this only fires on a
+        # cyclic (non-forest) flow input -- which would mean wrong basins
+        raise RuntimeError(
+            f"watershed did not converge in {max_iter} doubling rounds "
+            f"({changed} cells still changing); flow graph may be cyclic")
     sizes = cur.groupBy("dem_id", F.col("p").alias("basin")) \
         .agg(F.count("*").cast("long").alias("basin_size"))
     return (cur.select("dem_id", "cell", F.col("p").alias("basin"))

@@ -44,6 +44,13 @@ class NoSuchSnapshotError(KeyError):
     pass
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed this snap id first (manifest already
+    exists).  The losing writer's data partition may have been written;
+    its manifest was NOT committed, so the table state is untouched --
+    retry the whole operation to re-read the current snapshot."""
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -77,11 +84,24 @@ class SnapshotTable:
             return json.load(fh)
 
     def _commit(self, manifest: dict) -> int:
+        """Conditional (compare-and-swap) manifest publish: the snap id
+        was allocated by a non-atomic read(current)+1, so publishing via
+        ``os.replace`` would let a second concurrent writer silently
+        clobber the first.  ``os.link`` fails with EEXIST if ``sid.json``
+        is already claimed -- the exact put-if-absent primitive Iceberg
+        requires of its catalog -- turning the race into a loud
+        :class:`ConcurrentCommitError` the caller can retry."""
         sid = manifest["snap_id"]
-        tmp = os.path.join(self._meta_dir(), f".{sid}.json.tmp")
+        tmp = os.path.join(self._meta_dir(), f".{sid}.json.tmp.{os.getpid()}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self._meta_dir(), f"{sid}.json"))
+        try:
+            os.link(tmp, os.path.join(self._meta_dir(), f"{sid}.json"))
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot {sid} was committed by another writer") from None
+        finally:
+            os.unlink(tmp)
         return sid
 
     # ------------------------------------------------------------ write
@@ -89,11 +109,16 @@ class SnapshotTable:
         import time
         cur = self.current_snapshot()
         sid = 0 if cur is None else cur + 1
-        rows = df.count()
         (df.withColumn("snap_id", F.lit(sid))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("snap_id").parquet(self._data_dir()))
+        # Count the WRITTEN files, not the input plan: executing the
+        # caller's plan twice (count then write) would record a wrong
+        # manifest row count for any nondeterministic plan, and re-runs
+        # the full upstream computation besides.
+        rows = (self.spark.read.parquet(self._data_dir())
+                .where(F.col("snap_id") == sid).count())
         parent_visible = [] if cur is None \
             else self._manifest(cur)["visible"]
         return self._commit({
@@ -154,6 +179,9 @@ class SnapshotTable:
         import time
         target = self._manifest(to_snap)
         cur = self.current_snapshot()
+        if cur is None:
+            raise NoSuchSnapshotError(
+                f"cannot rollback empty table to snapshot {to_snap}")
         sid = cur + 1
         return self._commit({
             "snap_id": sid, "parent": cur, "op": f"rollback[{to_snap}]",

@@ -58,6 +58,22 @@ class WarpSpec:
         self.sy, self.sx = ht / h, wt / w
         self.oy, self.ox = oy, ox
         self.tile = tile
+        # The extrapolation pad in _fill_canvas covers EXACTLY one pixel
+        # outside the source (indices -1 and h/w); a spec whose offsets
+        # or downscale push bilinear sampling further out would leave NaN
+        # canvas cells that silently propagate into output tiles, so
+        # validate the documented 1-px contract up front.
+        for axis, src in (("y", h), ("x", w)):
+            s = self.sy if axis == "y" else self.sx
+            o = oy if axis == "y" else ox
+            n_t = ht if axis == "y" else wt
+            lo = math.floor(0.5 / s - 0.5 + o)           # first sampled idx
+            hi = math.floor((n_t - 0.5) / s - 0.5 + o) + 1   # last (bilinear)
+            if lo < -1 or hi > src:
+                raise ValueError(
+                    f"WarpSpec samples source {axis} in [{lo}, {hi}] but "
+                    f"the extrapolation pad only covers [-1, {src}]; "
+                    f"reduce |o{axis}| or the downscale factor")
 
     def src_coords(self, axis: str, t0: int, t1: int) -> np.ndarray:
         """Source sampling coordinates for target pixels [t0, t1)."""

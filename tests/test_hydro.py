@@ -130,3 +130,23 @@ def test_ruggedness_hand_case(spark):
     assert mid["n_nbr"] == 2 and mid["tri"] == 4.5 and mid["relief"] == 9.0
     left = out[_key(4, 0)]
     assert left["n_nbr"] == 1 and left["tri"] == 3.0 and left["relief"] == 3.0
+
+
+def test_flow_accumulation_unconverged_raises(spark):
+    """A path longer than max_iter must raise, not silently return a
+    truncated (wrong) accumulation."""
+    import pytest
+    from terraspark import hydro
+    from terraspark.hydro import _LON_BITS
+    step = 1 << _LON_BITS
+    # a 6-cell chain: cell i drains east (dir 0 in D8 order) to i+1
+    rows = [(1, i, 0 if i < 5 else -1, 0.1, 0) for i in range(6)]
+    flow = spark.createDataFrame(
+        rows, "dem_id int, cell long, flow_dir int, drop double, "
+              "n_inflow long")
+    from terraspark.hydro import D8
+    assert D8[0][1:3] == (0, 1), "test assumes dir index 0 == east"
+    ok = hydro.flow_accumulation(flow, max_iter=10)
+    assert {r["acc"] for r in ok.collect()} == {1, 2, 3, 4, 5, 6}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        hydro.flow_accumulation(flow, max_iter=2)

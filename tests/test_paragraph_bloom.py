@@ -138,3 +138,29 @@ def test_key_skew_audit_surfaces_hot_key(spark):
     # 20 distinct keys, mean 5 rows -> straggler factor 16.2
     assert out[0]["skew"] == round(81 / 5.0, 4)
     assert out[1]["n_rows"] == 1 and out[1]["key"] == 0   # tie -> key asc
+
+
+def test_mixture_draw_sign_and_overflow_safe(spark):
+    """Negative or huge doc ids must go through the same [0, P) MINSTD
+    draw as everyone else -- Spark's signed % would otherwise keep every
+    negative-id row regardless of p_sample, and LCG_A * id overflows
+    int64 for ids >= ~1.9e14."""
+    from pyspark.sql import functions as F
+    from terraspark.datapipe import mixture
+    big = 1 << 62
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(200)]
+        + [(-i, "s") for i in range(1, 201)]
+        + [(big + i, "s") for i in range(200)],
+        "doc_id long, source string")
+    kept = mixture.sample_docs(docs, rate=0.3)
+    grp = (F.when(F.col("doc_id") < 0, -1)
+           .when(F.col("doc_id") >= big, 2).otherwise(1))
+    counts = {int(r["g"]): r["count"]
+              for r in kept.groupBy(grp.alias("g")).count().collect()}
+    # every id class must be sampled at roughly p (=0.3 here): a signed-%
+    # bug keeps ALL 200 negative ids; overflow keeps/drops arbitrarily
+    # but deterministically differs from the pmod draw
+    assert 0 < counts.get(-1, 0) < 200, counts
+    assert 0 < counts.get(1, 0) < 200, counts
+    assert 0 < counts.get(2, 0) < 200, counts

@@ -123,3 +123,32 @@ def test_stream_merge_upsert_exactly_once_and_idempotent(spark, tmp_path):
     # replace identical rows)
     tbl.merge(spark.createDataFrame(batch, ddl), ["k"], version_col="_v")
     assert {r["k"]: r["v"] for r in tbl.read().collect()} == state
+
+
+def test_concurrent_commit_is_conditional(spark, tmp_path):
+    """A second writer computing the same snap id must fail loudly, not
+    silently clobber the first manifest (put-if-absent via os.link)."""
+    from terraspark.snapshots import ConcurrentCommitError
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, 0, 3))
+    winner = {"snap_id": 1, "parent": 0, "op": "append",
+              "visible": [0, 1], "rows": 2, "ts": 0.0}
+    tbl._commit(winner)                      # writer A claims sid 1
+    with pytest.raises(ConcurrentCommitError):
+        tbl._commit({**winner, "rows": 99})  # writer B loses, loudly
+    assert tbl._manifest(1)["rows"] == 2     # A's manifest intact
+
+
+def test_manifest_rows_counted_from_written_data(spark, tmp_path):
+    """The manifest row count must reflect what landed on disk, not a
+    second execution of the caller's (possibly nondeterministic) plan."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    sid = tbl.overwrite(_df(spark, 0, 7))
+    assert tbl._manifest(sid)["rows"] == 7
+    assert tbl.read().count() == 7
+
+
+def test_rollback_empty_table_raises(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(NoSuchSnapshotError):
+        tbl.rollback(0)

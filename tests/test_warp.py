@@ -70,3 +70,17 @@ def test_warp_plan_single_exchange(spark):
     plan = warp_tiles(df, spec, partitions=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_warpspec_rejects_out_of_pad_sampling():
+    """Offsets (or strong downscale) pushing sampling more than 1 px
+    outside the source must fail in __init__, not produce NaN tiles."""
+    import pytest
+    from terraspark.warp import WarpSpec
+    WarpSpec(64, 64, 64, 64, oy=0.4)           # within the 1-px pad: fine
+    with pytest.raises(ValueError, match="extrapolation pad"):
+        WarpSpec(64, 64, 64, 64, oy=3.0)       # shifts past the pad
+    with pytest.raises(ValueError, match="extrapolation pad"):
+        WarpSpec(64, 64, 64, 64, ox=-3.0)
+    # a 4x downscale samples the interior only -- must NOT raise
+    WarpSpec(64, 64, 16, 16, tile=16)
