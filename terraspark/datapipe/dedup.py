@@ -189,6 +189,46 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", expr.alias("simhash"))
 
 
+_HEX = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """Generalized ``bits``-wide SimHash (1..64) over unigram tokens --
+    the widening path :func:`simhash16`'s docstring promises for corpus
+    scale, where a 16-bit signature space saturates by birthday effect.
+
+    Token-hash bit j = bit (3 - j%4) of md5 hex digit j//4, so up to 64
+    independent bits come from the first 16 digits; votes and the final
+    sign rule are identical to :func:`simhash16`.  (The 16-bit variant
+    keeps its own digit-per-bit layout for its ANSI-SQL oracle;
+    this function is the scale path, plan-shape-identical: one explode +
+    one groupBy with ``bits`` CASE-sum aggregates, map-side combined.)
+    The signature is returned as one int64; bit 63 (bits=64, j=0) lands
+    on the sign bit via its two's-complement value, which xor/popcount/
+    band-extraction treat as raw bits.
+    """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64]: {bits}")
+    toks = spread_input(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select("doc_id", F.md5("tok").alias("h"))
+
+    def chars(bitpos):          # hex chars whose value has bit `bitpos` set
+        return [c for i, c in enumerate(_HEX) if (i >> bitpos) & 1]
+
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring("h", j // 4 + 1, 1)
+                     .isin(*chars(3 - j % 4)), 1).otherwise(-1))
+        .alias(f"v{j}") for j in range(bits)])
+    expr = F.lit(0).cast("long")
+    for j in range(bits):
+        w = bits - 1 - j
+        lit = F.lit(-(1 << 63)) if w == 63 else F.lit(1 << w)
+        expr = expr + F.when(F.col(f"v{j}") > 0, lit) \
+            .otherwise(F.lit(0)).cast("long")
+    return votes.select("doc_id", expr.alias("simhash"))
+
+
 def _capped_tokens(docs: DataFrame, max_tokens: int | None) -> DataFrame:
     """(doc_id, tok) distinct unigrams, optionally truncated to the
     ``max_tokens`` smallest (md5(tok), tok) per doc -- a deterministic,
@@ -244,9 +284,10 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                             6).alias("jaccard")))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 1,
+                  bits: int = 16) -> DataFrame:
     """SimHash near-duplicate JOIN: (doc_a < doc_b, hamming) pairs whose
-    16-bit signatures differ in at most ``max_hamming`` bits.
+    ``bits``-wide signatures differ in at most ``max_hamming`` bits.
 
     Scale path: the signature is split into ``max_hamming + 1`` bit
     bands; by pigeonhole, any pair within the hamming budget agrees
@@ -256,21 +297,27 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     the direct quadratic definition instead, so the banding logic itself
     is cross-checked (dp_simhash_pairs).
 
-    Scale caveat: a 16-bit signature space saturates around 10^3-10^4
-    documents (band values collide by birthday effect and candidate
-    counts grow quadratically again); 16 bits is chosen here for exact
-    ANSI-SQL oracle portability -- at corpus scale widen the signature
-    (64/128-bit, more bands), which changes only the constants in this
-    function."""
+    ``bits``: 16 (default) uses :func:`simhash16`, kept for exact
+    ANSI-SQL oracle portability; its signature space saturates around
+    10^3-10^4 documents (band values collide by birthday effect and
+    candidate counts grow quadratically again).  At corpus scale pass
+    a wider signature -- ``bits=64`` routes through :func:`simhash`
+    and only the shift/mask constants below change (asserted at 64-bit
+    by tests/test_dedup_caps.py)."""
     n_bands = max_hamming + 1
-    width = 16 // n_bands + (1 if 16 % n_bands else 0)
-    sig = simhash16(docs)
+    width = bits // n_bands + (1 if bits % n_bands else 0)
+    sig = simhash16(docs) if bits == 16 else simhash(docs, bits=bits)
+
+    def _band_val(i):
+        shifted = F.shiftrightunsigned("simhash", i * width)
+        if width >= 64:          # single band: the value IS the signature
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.shiftright("simhash", i * width)
-                     .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+            F.struct(F.lit(i).alias("band"), _band_val(i).alias("val"))
             for i in range(n_bands)])).alias("b")) \
         .select("doc_id", "simhash", "b.band", "b.val")
     a = bands.select("band", "val", F.col("doc_id").alias("doc_a"),

@@ -239,3 +239,32 @@ def test_jaccard_verify_join_token_cap(spark):
     inter = len(set(range(1, 51)) & set(range(2, 52)))
     assert abs(exact["jaccard"].iloc[0]
                - round(inter / (100 - inter), 6)) < 1e-9
+
+
+def test_simhash64_banding_matches_quadratic(spark):
+    """The widening path promised by simhash16's docstring: at bits=64
+    the pigeonhole banding join must produce exactly the pairs of the
+    quadratic xor-popcount definition (including signatures whose bit 63
+    lands on the int64 sign bit)."""
+    from pyspark.sql import functions as F
+    from terraspark.datapipe import dedup
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").where(F.col("doc_id") < 40))
+    exact = base.where(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")   # hamming 0
+    near = base.where(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("zq")).alias("text"))
+    docs = base.unionByName(exact).unionByName(near)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(docs, bits=64).collect()}
+    assert any(s < 0 for s in sigs.values()), "sign-bit path not exercised"
+    ids = sorted(sigs)
+    for mh in (0, 2, 3):
+        got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+               dedup.simhash_pairs(docs, max_hamming=mh, bits=64).collect()}
+        want = {(a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+                if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= mh}
+        assert got == want, f"max_hamming={mh}"
+    assert any(h == 0 for _, _, h in want), "no planted exact pair"
