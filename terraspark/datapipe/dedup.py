@@ -267,6 +267,17 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     whenever both docs fit the cap; over-cap docs are enumerable via
     :func:`jaccard_cap_audit`).  The SQL oracle mirrors the identical
     truncation window."""
+    return _pair_overlap(docs, pairs, max_tokens).select(
+        "doc_a", "doc_b",
+        F.round(F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6).alias("jaccard"))
+
+
+def _pair_overlap(docs: DataFrame, pairs: DataFrame,
+                  max_tokens: int | None) -> DataFrame:
+    """(doc_a, doc_b, n_inter, na, nb) under the shared capped-token
+    rule -- the common core of jaccard_pairs / containment_pairs."""
     toks = _capped_tokens(docs, max_tokens)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
@@ -277,11 +288,30 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame,
             .join(sizes.select(F.col("doc_id").alias("doc_a"),
                                F.col("n").alias("na")), "doc_a")
             .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n").alias("nb")), "doc_b")
-            .select("doc_a", "doc_b",
-                    F.round(F.col("n_inter")
-                            / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                            6).alias("jaccard")))
+                               F.col("n").alias("nb")), "doc_b"))
+
+
+def containment_pairs(docs: DataFrame, pairs: DataFrame,
+                      max_tokens: int | None = None,
+                      min_containment: float = 0.0) -> DataFrame:
+    """Asymmetric near-dup verify: (doc_a, doc_b, jaccard, containment)
+    with containment = |A .. B| / min(|A|, |B|) -- the metric that
+    catches doc-INSIDE-doc duplication (a page quoting another
+    wholesale, a concatenation shard containing an original) which
+    symmetric Jaccard dilutes below any near-dup threshold: a 100-token
+    doc fully contained in a 10,000-token doc has Jaccard ~0.01 but
+    containment 1.0.  Same candidate-driven + capped-token scale shape
+    as :func:`jaccard_pairs`; rows with containment < ``min_containment``
+    are dropped engine-side so only the interesting tail shuffles out."""
+    ov = _pair_overlap(docs, pairs, max_tokens)
+    cont = F.round(F.col("n_inter") / F.least("na", "nb"), 6)
+    return (ov.select(
+        "doc_a", "doc_b",
+        F.round(F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6).alias("jaccard"),
+        cont.alias("containment"))
+        .where(F.col("containment") >= min_containment))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 1,

@@ -423,3 +423,36 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.8,
         except NameError:
             pass
     return out
+
+
+def ann_recall(embeddings: DataFrame, query_ids, k: int = 5,
+               probes_list=(1, 2)) -> DataFrame:
+    """Recall@k audit of the IVF ANN path against brute-force cosine
+    ground truth: (query_id, probes, n_hit, recall) for each probe
+    count.  The "measure, don't guess" companion to :func:`ivf_topk` --
+    a production index rollout gates on exactly this table (recall vs
+    latency as probes grow).
+
+    Scale: ground truth for the AUDIT SAMPLE only (|query_ids| rows per
+    list entry, never all-pairs); each side is an existing top-k plan,
+    the comparison is a k-row-per-query join.  The brute result is
+    checkpointed once and reused across probe counts.
+    """
+    from functools import reduce
+    brute = (cosine_topk(embeddings, query_ids, k=k)
+             .select("query_id", "neighbor_id").localCheckpoint())
+    outs = []
+    for p in probes_list:
+        approx = ivf_topk(embeddings, query_ids, k=k, probes=p) \
+            .select("query_id", "neighbor_id")
+        hits = (approx.join(brute, ["query_id", "neighbor_id"])
+                .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+        outs.append(
+            brute.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id", F.lit(p).cast("int").alias("probes"),
+                    F.coalesce("n_hit", F.lit(0)).cast("long")
+                    .alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0))
+                            / F.lit(float(k)), 6).alias("recall")))
+    return reduce(lambda a, b: a.unionByName(b), outs)

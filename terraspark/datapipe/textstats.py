@@ -244,3 +244,43 @@ def bm25_topk(docs: DataFrame, terms: list[str], k1: float = 1.2,
               .groupBy("doc_id").agg(F.round(F.sum(w), 6).alias("score")))
     return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
             .select("doc_id", "score"))
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per language, rank documents by the corpus-trained unigram
+    LM score (:func:`unigram_logprob`, higher = more fluent) and cut the
+    ranking into terciles -- head (top third), middle, tail.  Tercile
+    rule on rank r of n docs: head iff 3r <= n, middle iff 3r <= 2n,
+    else tail (pure integer arithmetic, identical in the SQL oracle).
+
+    Scale shape: a naive ``ntile() OVER (PARTITION BY lang)`` puts each
+    language in ONE task -- a 40 TB English partition would sort on a
+    single executor.  Instead the rank is decomposed: (1) per-(lang,
+    score) counts (map-side combinable; scores are 6-dp rounded so this
+    table is #distinct-scores rows, far smaller than the corpus), (2) a
+    running "docs with strictly higher score" sum over THAT small table,
+    (3) a tie-break row_number windowed by (lang, score) -- partitions
+    are tie groups, thousands of tasks, never one-per-language.
+    rank = higher + row_number == ROW_NUMBER() OVER (PARTITION BY lang
+    ORDER BY score DESC, doc_id), verified by the oracle.
+    """
+    from pyspark.sql import Window
+    s = unigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    sc = s.groupBy("lang", "avg_logp").agg(F.count("*").alias("c"))
+    w_scores = Window.partitionBy("lang").orderBy(F.col("avg_logp").desc())
+    cum = sc.select(
+        "lang", "avg_logp",
+        (F.sum("c").over(w_scores) - F.col("c")).alias("higher"))
+    w_tie = Window.partitionBy("lang", "avg_logp").orderBy("doc_id")
+    tot = s.groupBy("lang").agg(F.count("*").alias("n"))
+    r = (s.join(cum, ["lang", "avg_logp"])
+         .withColumn("rnk", F.col("higher") + F.row_number().over(w_tie))
+         .join(F.broadcast(tot), "lang"))
+    return r.select(
+        "doc_id", "lang", "avg_logp",
+        F.when(3 * F.col("rnk") <= F.col("n"), "head")
+        .when(3 * F.col("rnk") <= 2 * F.col("n"), "middle")
+        .otherwise("tail").alias("bucket"))

@@ -238,3 +238,76 @@ def ruggedness(elev: DataFrame) -> DataFrame:
                  F.round(F.greatest(F.max("nelev"), F.first("elev"))
                          - F.least(F.min("nelev"), F.first("elev")), 6)
                  .alias("relief")))
+
+
+def cost_distance(elev: DataFrame, seeds: DataFrame,
+                  max_iter: int = 512) -> DataFrame:
+    """(dem_id, cell, cost): accumulated-cost distance from the nearest
+    seed cell over the 8-connected cell grid -- the GRASS ``r.cost``
+    operator (cost surface = cell mean elevation; stepping src -> dst
+    costs (elev_src + elev_dst) * 0.5 * metric_len with metric_len 1 or
+    sqrt(2) for diagonals, r.cost's average-cell rule).
+
+    Distributed shape: Bellman-Ford relaxation over the materialized
+    weighted edge list -- per round one equi-join (edges x current
+    costs) + one map-side-combinable MIN per destination + a LEAST with
+    the previous round, localCheckpoint per round, convergence-detected
+    with the flow_accumulation loud-failure contract.  Round count is
+    bounded by the longest optimal path's hop count (grid diameter),
+    not data size; edges are 8 x cells narrow int64/f64 rows built
+    map-side (no shuffle to construct).
+
+    Determinism: every candidate cost is the fold of the identical f64
+    expression sequence along its path (seed -> ... -> cell), and MIN
+    over a set of exact f64s is order-free, so engine and the unrolled
+    SQL oracle agree bit-for-bit before the final 6-dp round.
+
+    ``seeds``: (dem_id, cell) rows, cost 0 -- e.g. the D8 pits of
+    :func:`flow_direction` (cost-to-nearest-sink).
+    """
+    step = 1 << _LON_BITS
+    structs = ", ".join(
+        f"named_struct('d', {dla}L * {step}L + {dlo}L, "
+        f"'len', CAST('{dist!r}' AS DOUBLE))"
+        for _, dla, dlo, dist in D8)
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.explode(F.expr(f"array({structs})")).alias("s"))
+           .withColumn("dst", F.col("cell") + F.col("s.d")))
+    other = elev.select("dem_id", F.col("cell").alias("dst"),
+                        F.col("elev").alias("delev"))
+    edges = (nbr.join(other, ["dem_id", "dst"])
+             .select("dem_id", F.col("cell").alias("src"), "dst",
+                     ((F.col("elev") + F.col("delev")) * F.lit(0.5)
+                      * F.col("s.len")).alias("w"))
+             .localCheckpoint())
+    inf = float("inf")
+    d = (elev.select("dem_id", "cell")
+         .join(seeds.select("dem_id", "cell")
+               .withColumn("_s", F.lit(True)), ["dem_id", "cell"], "left")
+         .select("dem_id", "cell",
+                 F.when(F.col("_s"), F.lit(0.0)).otherwise(F.lit(inf))
+                 .alias("cost"))
+         .localCheckpoint())
+    changed = -1
+    for _ in range(max_iter):
+        relax = (edges.join(
+            d.select("dem_id", F.col("cell").alias("src"),
+                     F.col("cost").alias("sc")), ["dem_id", "src"])
+            .groupBy("dem_id", F.col("dst").alias("cell"))
+            .agg(F.min(F.col("sc") + F.col("w")).alias("via")))
+        new = (d.join(relax, ["dem_id", "cell"], "left")
+               .select("dem_id", "cell",
+                       F.least("cost", F.coalesce("via", F.lit(inf)))
+                       .alias("cost"))
+               .localCheckpoint())
+        changed = (new.join(d.withColumnRenamed("cost", "old"),
+                            ["dem_id", "cell"])
+                   .where(F.col("cost") != F.col("old")).count())
+        d = new
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"cost_distance did not converge in {max_iter} rounds "
+            f"({changed} cells still relaxing); raise max_iter")
+    return d.select("dem_id", "cell", F.round("cost", 6).alias("cost"))

@@ -150,3 +150,20 @@ def test_flow_accumulation_unconverged_raises(spark):
     assert {r["acc"] for r in ok.collect()} == {1, 2, 3, 4, 5, 6}
     with pytest.raises(RuntimeError, match="did not converge"):
         hydro.flow_accumulation(flow, max_iter=2)
+
+
+def test_cost_distance_chain_hand_case(spark):
+    """3-cell east-west chain, seed at the west end: costs accumulate
+    the average-cell rule exactly; convergence guard fires on a too-low
+    max_iter."""
+    import pytest
+    from terraspark import hydro
+    elev = spark.createDataFrame(
+        [("d", 0, 8.0), ("d", 1, 4.0), ("d", 2, 2.0)],
+        "dem_id string, cell long, elev double")
+    seeds = spark.createDataFrame([("d", 0)], "dem_id string, cell long")
+    got = {r["cell"]: r["cost"]
+           for r in hydro.cost_distance(elev, seeds).collect()}
+    assert got == {0: 0.0, 1: 6.0, 2: 9.0}   # (8+4)/2, then + (4+2)/2
+    with pytest.raises(RuntimeError, match="did not converge"):
+        hydro.cost_distance(elev, seeds, max_iter=1)
