@@ -86,28 +86,51 @@ def test_entry_smoke(spark):
         set(df.columns)
 
 
-def test_registry_fronts_unverdicted_queries():
+def test_registry_priority_ordering():
     """Every observed driver correctness sample is a prefix of the
-    registry, so queries still lacking a driver verdict must lead it;
-    every query must have an oracle entry or be a documented rows-only
-    op; and the oracle keys must be a subset of the registry."""
+    registry, so the head must be (in order): queries with NO verdict in
+    any committed report (streaming block + this round's additions),
+    then the historical red row, then previously-green queries
+    oldest-verdict-first; every query must have an oracle entry or be a
+    documented rows-only op; and the oracle keys must be a subset of
+    the registry."""
     q = E.queries()
     names = list(q)
     front = [n for n in E.NEVER_VERDICTED if n in q]
     assert names[:len(front)] == front
-    # and the front block really is the never-verdicted set: every
-    # registry key with a green row in a committed CORRECTNESS report
-    # sits behind it
     import json
-    seen = set()
-    for r in (1, 2, 3):
-        rep = json.load(open(os.path.join(
-            os.path.dirname(E.__file__), f"CORRECTNESS_r0{r}.json")))
-        seen |= {k for k, v in rep.items() if isinstance(v, dict)
-                 and v.get("rows_match") and v.get("err") is None}
-    assert not (set(front) & seen), sorted(set(front) & seen)
-    assert set(names[len(front):]) <= seen, \
-        sorted(set(names[len(front):]) - seen)
+    hash_green = set()
+    any_row = set()
+    for r in (1, 2, 3, 4):
+        p = os.path.join(os.path.dirname(E.__file__),
+                         f"CORRECTNESS_r0{r}.json")
+        if not os.path.exists(p):
+            continue
+        rep = json.load(open(p))
+        for k, v in rep.items():
+            if not isinstance(v, dict):
+                continue
+            any_row.add(k)
+            if v.get("rows_match") and v.get("schema_match") \
+                    and v.get("hash_match", True) and v.get("err") is None:
+                hash_green.add(k)
+    # the strictly-never-verdicted block (streaming + new registrations)
+    # must have NO row of any kind in the committed reports
+    strict = [n for n in (E._NEVER_VERDICTED + E._NEW_R5) if n in q]
+    assert not (set(strict) & any_row), sorted(set(strict) & any_row)
+    # the red block has rows but never a hash-green one
+    assert not (set(E._ONLY_RED) & hash_green), \
+        sorted(set(E._ONLY_RED) & hash_green)
+    assert set(E._ONLY_RED) <= any_row
+    # everything behind the priority list has a green verdict already
+    assert set(names[len(front):]) <= hash_green, \
+        sorted(set(names[len(front):]) - hash_green)
+    # and the re-verification tail is ordered oldest-first: every
+    # r2-era name precedes every r3-era name in the registry
+    pos = {n: i for i, n in enumerate(names)}
+    r2max = max(pos[n] for n in E._GREEN_R2 if n in pos)
+    r3min = min(pos[n] for n in E._GREEN_R3 if n in pos)
+    assert r2max < r3min
     o = E.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
     # rows-only ops (no closed-form SQL) are the documented exceptions
