@@ -78,3 +78,42 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  F.round(F.sum("lr"), 6).alias("dsir_weight")))
+
+
+def train_split(docs: DataFrame, id_col: str = "doc_id",
+                cut_train: int = 80, cut_val: int = 90) -> DataFrame:
+    """(doc_id, split): deterministic, leakage-free train/val/test
+    assignment -- split = f(md5(id)) so a document keeps its split under
+    any reshuffling, re-sharding, or incremental reprocessing (the
+    property a random() split silently loses, leaking val docs into a
+    retrained model's train set).
+
+    slot = first two md5 hex digits of the id string (0..255, the repo's
+    portable :func:`md5_bucket8` convention) scaled to 0..99 via
+    slot * 100 // 256; train iff < ``cut_train``, val iff < ``cut_val``,
+    else test.  Pure JVM expression work -- one narrow scan, no shuffle.
+    """
+    slot = (md5_bucket8(f"md5(CAST({id_col} AS STRING))") * 100 / 256) \
+        .cast("int")
+    return docs.withColumn(
+        "split",
+        F.when(slot < cut_train, "train")
+        .when(slot < cut_val, "val").otherwise("test"))
+
+
+def split_audit(docs: DataFrame, source_col: str = "source",
+                id_col: str = "doc_id", cut_train: int = 80,
+                cut_val: int = 90) -> DataFrame:
+    """(source, split, n_docs, frac): the distribution audit a split
+    rollout gates on -- per-source split fractions should track the
+    80/10/10 target; a skewed source (e.g. ids correlated with the
+    hash) shows up immediately.  Two tiny aggs + a broadcast join."""
+    s = train_split(docs.select(id_col, source_col), id_col,
+                    cut_train, cut_val)
+    cnt = s.groupBy(source_col, "split").agg(
+        F.count("*").cast("long").alias("n_docs"))
+    tot = cnt.groupBy(source_col).agg(F.sum("n_docs").alias("n_total"))
+    return (cnt.join(F.broadcast(tot), source_col)
+            .select(source_col, "split", "n_docs",
+                    F.round(F.col("n_docs") / F.col("n_total"), 6)
+                    .alias("frac")))
