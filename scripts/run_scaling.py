@@ -42,6 +42,10 @@ def main():
                 for p in PHASES:
                     best[c][p] = min(best[c][p], r[p])
             print(f"round {rnd} cores {c}: {r}", file=sys.stderr)
+            os.makedirs("BENCH", exist_ok=True)
+            with open("BENCH/scaling_rounds_r5.jsonl", "a") as rawf:
+                rawf.write(json.dumps(
+                    {"cores": c, "round": rnd, **r}) + "\n")
 
     total = {c: round(sum(best[c][p] for p in PHASES), 2) for c in LEVELS}
     tiles = N_IMAGES * 64 * 11          # corrected tile rows
@@ -66,7 +70,11 @@ def main():
         f"| local[{c}] | {round(joins / total[c], 1)} | "
         f"{round(tiles / total[c], 1)} |"
         for c in LEVELS)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md is hand-curated (multi-round best-of, raw-spread
+    # transparency, round-over-round tables); a single 2-round probe
+    # must never overwrite it.  Raw per-round readings also append to
+    # BENCH/scaling_rounds_r5.jsonl via the per-round prints below.
+    with open("BENCH/SCALING_LAST.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
 Workload: full image pipeline over deterministic fixtures, {N_IMAGES}

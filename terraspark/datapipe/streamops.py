@@ -261,3 +261,71 @@ def stream_merge_upsert(spark: SparkSession, changes_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# ----------------------------------------------------------------------
+# stateful streaming sessionization (event-time gap sessions)
+# ----------------------------------------------------------------------
+SESS_OUT_SCHEMA = ("user_id long, session_idx int, n_events long, "
+                   "start_us long, end_us long")
+SESS_STATE_SCHEMA = "start_us long, last_us long, n long, closed int"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Per-user session assembler: fold event times (sorted within the
+    batch) into the carried (open-session, closed-count) state; a gap
+    > 30 min CLOSES the current session (emitted) and opens a new one.
+    The open session never emits -- it may still grow in a later batch.
+
+    In-order-drop contract (the stream_exact_dedup convention): a later
+    drop must not contain events earlier than an already-processed
+    drop's for the same user -- event-time sessionization over an
+    out-of-order feed needs a watermark-delayed close instead, which
+    stream_windowed_counts demonstrates for windowed aggregation."""
+    if state.exists:
+        start, last, n, closed = state.get
+    else:
+        start, last, n, closed = None, None, 0, 0
+    ts: list[int] = []
+    for pdf in pdfs:
+        ts.extend(int(t) for t in pdf["ts_us"])
+    if not ts:
+        return
+    ts.sort()
+    out = []
+    for t in ts:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > SESSION_GAP_US:
+            out.append((key[0], closed, n, start, last))
+            closed += 1
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    state.update((start, last, n, closed))
+    if out:
+        yield pd.DataFrame(out, columns=[
+            "user_id", "session_idx", "n_events", "start_us", "end_us"])
+
+
+def stream_sessions(spark: SparkSession, events_dir: str, out_dir: str,
+                    checkpoint_dir: str) -> None:
+    """Drain all unseen event files (availableNow) and append every
+    session CLOSED by the drained data to ``out_dir``; open sessions
+    ride in the checkpointed state and close (or keep growing) on later
+    drains -- the continuous-ingestion sessionization shape."""
+    stream = (spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+              .withColumn("ts_us", F.unix_micros(
+                  F.col("ts").cast("timestamp")))
+              .select("user_id", "ts_us"))
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn, SESS_OUT_SCHEMA, SESS_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+    q = (sessions.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

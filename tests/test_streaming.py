@@ -405,3 +405,51 @@ def test_stream_stream_join_cross_drop_and_exactly_once(spark, tmp_path):
     # re-invoking with no new files appends nothing (exactly-once)
     streamops.stream_stream_join(spark, str(src), out, ckpt)
     assert spark.read.parquet(out).count() == 1
+
+
+def test_stream_sessions_cross_batch_stitch(spark, tmp_path):
+    """A session spanning the drop boundary must be stitched via keyed
+    state (not closed at the batch edge), closed sessions emit exactly
+    once, and the final open session never emits."""
+    import pandas as pd
+    from terraspark.datapipe.streamops import (SESSION_GAP_US,
+                                               stream_sessions)
+    m = 60 * 1_000_000
+    base = pd.Timestamp("2026-01-05 10:00:00")
+
+    def ev(eid, uid, offset_min):
+        return (eid, base + pd.Timedelta(minutes=offset_min), uid,
+                "view", 1.0)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    # user 1: session A = [0, 10]; 40-min gap; session B spans the drop
+    #         boundary: [50 (drop 0)] + [60, 65 (drop 1)]; gap; [120]
+    # user 2: single session [0, 5] only -> never emits
+    drop0 = pd.DataFrame([ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 50),
+                          ev(4, 2, 0), ev(5, 2, 5)], columns=cols)
+    drop1 = pd.DataFrame([ev(6, 1, 60), ev(7, 1, 65), ev(8, 1, 120)],
+                         columns=cols)
+    src = tmp_path / "in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    drop0 = drop0.assign(ts=drop0["ts"].astype("datetime64[us]"))
+    drop1 = drop1.assign(ts=drop1["ts"].astype("datetime64[us]"))
+    drop0.to_parquet(src / "drop-0.parquet", index=False)
+    stream_sessions(spark, str(src), out, ckpt)
+    first = spark.read.parquet(out).collect()
+    # only session A closed by drop 0 (the 40-min gap before t=50)
+    assert [(r["user_id"], r["session_idx"], r["n_events"])
+            for r in first] == [(1, 0, 2)]
+    drop1.to_parquet(src / "drop-1.parquet", index=False)
+    stream_sessions(spark, str(src), out, ckpt)
+    rows = {(r["user_id"], r["session_idx"]):
+            (r["n_events"], r["start_us"], r["end_us"])
+            for r in spark.read.parquet(out).collect()}
+    t0 = int(base.value // 1000)
+    # session B = events at 50, 60, 65 min -- STITCHED across the drops
+    assert rows[(1, 1)] == (3, t0 + 50 * m, t0 + 65 * m)
+    # session A emitted exactly once; user 1's [120] and user 2's
+    # session remain open in state
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)] == (2, t0, t0 + 10 * m)
+    assert SESSION_GAP_US == 30 * m
