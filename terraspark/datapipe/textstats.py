@@ -284,3 +284,42 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
         F.when(3 * F.col("rnk") <= F.col("n"), "head")
         .when(3 * F.col("rnk") <= 2 * F.col("n"), "middle")
         .otherwise("tail").alias("bucket"))
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", rule subset expressible over the
+    fixture schema): per doc the filter signals and the combined keep
+    verdict --
+
+    * n_words in [50, 100_000],
+    * mean word length in [3, 10] characters,
+    * symbol-to-word ratio (# and ellipsis) <= 0.1,
+    * fraction of words with >= 1 alphabetic character >= 0.8.
+
+    All four are single-pass JVM expression work over one split(text)
+    array -- no explode, no shuffle; the corpus is scanned once and the
+    output is one narrow row per doc.  (The original's line-level rules
+    -- bullet/ellipsis line starts -- need a line-structured corpus; the
+    fixture text is single-line, so they are vacuous here and omitted
+    rather than shipped untestable.)
+    """
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    mean_len = (F.aggregate(w, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+                / n_words)
+    n_symbol = (F.size(F.filter(w, lambda x: x.contains("#")))
+                + F.size(F.filter(w, lambda x: x.contains("..."))))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    d = docs.select(
+        "doc_id", n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(n_symbol / n_words, 6).alias("symbol_ratio"),
+        F.round(n_alpha / n_words, 6).alias("alpha_frac"))
+    keep = ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("alpha_frac") >= 0.8))
+    return d.withColumn("keep", keep)

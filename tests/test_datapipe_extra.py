@@ -297,3 +297,35 @@ def test_cms_heavy_hitters_one_sided_and_exact_on_singletons(spark):
     got2 = {r["v"]: r["cms_est"] for r in sketches.cms_heavy_hitters(
         df.unionAll(df), "tok", k=5).collect()}
     assert all(got2[v] == 2 * got[v][1] for v in got)
+
+
+def test_gopher_rules_hand_cases(spark):
+    """Each rule trips independently; keep is the AND of all four
+    computed from the rounded signal columns."""
+    import pandas as pd
+    from terraspark.datapipe.textstats import gopher_rules
+
+    good = " ".join(["word"] * 60)                      # passes all
+    short = "too few words"                             # n_words < 50
+    symbols = " ".join(["ok#"] * 30 + ["fine"] * 30)    # symbol_ratio 0.5
+    nonalpha = " ".join(["123"] * 60)                   # alpha_frac 0
+    longw = " ".join(["w" * 20] * 60)                   # mean_word_len 20
+    rows = [{"doc_id": 0, "text": good},
+            {"doc_id": 1, "text": short},
+            {"doc_id": 2, "text": symbols},
+            {"doc_id": 3, "text": nonalpha},
+            {"doc_id": 4, "text": longw}]
+    docs = spark.createDataFrame(pd.DataFrame(rows),
+                                 "doc_id long, text string")
+    got = gopher_rules(docs).toPandas().set_index("doc_id")
+
+    assert bool(got.loc[0, "keep"])
+    assert got.loc[0, "n_words"] == 60
+    assert abs(got.loc[0, "mean_word_len"] - 4.0) < 1e-9
+    assert not bool(got.loc[1, "keep"]) and got.loc[1, "n_words"] == 3
+    assert not bool(got.loc[2, "keep"])
+    assert abs(got.loc[2, "symbol_ratio"] - 0.5) < 1e-9
+    assert not bool(got.loc[3, "keep"])
+    assert abs(got.loc[3, "alpha_frac"] - 0.0) < 1e-9
+    assert not bool(got.loc[4, "keep"])
+    assert abs(got.loc[4, "mean_word_len"] - 20.0) < 1e-9
