@@ -240,6 +240,159 @@ def ruggedness(elev: DataFrame) -> DataFrame:
                  .alias("relief")))
 
 
+def focal_stats(elev: DataFrame, radius: int = 2) -> DataFrame:
+    """(dem_id, cell, n_win, fmean, fstd, fmin, fmax, frange): focal
+    window statistics over the (2r+1)^2 cell neighborhood INCLUDING the
+    center -- the GRASS ``r.neighbors`` / ArcGIS Focal Statistics
+    operator at cell granularity (the reference exposes only the 3x3
+    slope/aspect window via execution_context.py:200-247; a generic
+    focal window is the standard generalization).
+
+    Distributed shape: the same map-side neighbor-key fan-out as
+    :func:`ruggedness`, widened to radius r -- each cell emits (2r+1)^2
+    delta-encoded keys, one equi-join against the elevation table, one
+    map-side-combinable groupBy.  No window function, no skew (every
+    cell has <= (2r+1)^2 candidates).  At 100 TB the cell table is
+    ~10^7 narrow rows; the fan-out is a constant factor 25 on a small
+    table, not a scale term.
+
+    Determinism: count/min/max/range are exact; mean and std come from
+    SUM / SUM-of-squares folds of exact f64s rounded at 6 / 4 dp (the
+    stream-rollup finalization convention), so engine and oracle agree
+    through the rounding."""
+    step = 1 << _LON_BITS
+    deltas = ", ".join(
+        f"{dla}L * {step}L + {dlo}L"
+        for dla in range(-radius, radius + 1)
+        for dlo in range(-radius, radius + 1))
+    nbr = (elev.select("dem_id", "cell",
+                       F.explode(F.expr(f"array({deltas})")).alias("d"))
+           .withColumn("target", F.col("cell") + F.col("d")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    j = nbr.join(other, ["dem_id", "target"])
+    n = F.count("*").cast("double")
+    s = F.sum("nelev")
+    ss = F.sum(F.col("nelev") * F.col("nelev"))
+    mean = s / n
+    var = F.greatest(ss / n - mean * mean, F.lit(0.0))
+    return (j.groupBy("dem_id", "cell")
+            .agg(F.count("*").cast("long").alias("n_win"),
+                 F.round(mean, 6).alias("fmean"),
+                 F.round(F.sqrt(var), 4).alias("fstd"),
+                 F.round(F.min("nelev"), 6).alias("fmin"),
+                 F.round(F.max("nelev"), 6).alias("fmax"),
+                 F.round(F.max("nelev") - F.min("nelev"), 6)
+                 .alias("frange")))
+
+
+def openness(elev: DataFrame, max_dist: int = 4) -> DataFrame:
+    """(dem_id, cell, n_dir, horizon_mean, horizon_max): topographic
+    horizon analysis (the tangent-scale form of positive openness,
+    Yokoyama et al. 2002): along each of the 8 D8 directions, the
+    horizon tangent is max over distance d = 1..max_dist of
+    (elev_neighbor - elev) / (unit_len * d); per cell we report the
+    mean and max horizon tangent over the directions that have at
+    least one in-grid neighbor.  Tangent scale (not atan degrees)
+    keeps every value a pure f64 arithmetic fold -- bit-identical
+    between engine and oracle with no transcendental-libm dependency.
+
+    Distributed shape: one map-side fan-out of 8 * max_dist delta keys
+    per cell, one equi-join, two map-side-combinable groupBys (per
+    (cell, dir) max, then per cell avg/max over <= 8 exact doubles).
+    Border cells simply find fewer rows to join -- identical
+    arithmetic on the oracle side."""
+    step = 1 << _LON_BITS
+    entries = ", ".join(
+        f"named_struct('dir', {d}, "
+        f"'delta', {dla * k}L * {step}L + {dlo * k}L, "
+        f"'dist', CAST('{dist * k!r}' AS DOUBLE))"
+        for d, dla, dlo, dist in D8 for k in range(1, max_dist + 1))
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.explode(F.expr(f"array({entries})")).alias("s"))
+           .withColumn("target", F.col("cell") + F.col("s.delta")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    j = nbr.join(other, ["dem_id", "target"])
+    tan = (F.col("nelev") - F.col("elev")) / F.col("s.dist")
+    per_dir = (j.groupBy("dem_id", "cell", F.col("s.dir").alias("dir"))
+               .agg(F.max(tan).alias("ht")))
+    return (per_dir.groupBy("dem_id", "cell")
+            .agg(F.count("*").cast("long").alias("n_dir"),
+                 F.round(F.avg("ht"), 6).alias("horizon_mean"),
+                 F.round(F.max("ht"), 6).alias("horizon_max")))
+
+
+def strahler(flow: DataFrame, acc: DataFrame, threshold: int = 5,
+             max_iter: int = 256) -> DataFrame:
+    """(dem_id, cell, acc, strahler): Strahler stream order over the
+    extracted stream network -- the classic r.watershed / r.stream.order
+    output that completes the flow_direction -> flow_accumulation ->
+    watershed hydrology stack.
+
+    Stream cells are those with accumulation >= threshold; stream edges
+    are the D8 flow edges with BOTH endpoints in the stream set.  Order
+    is the least fixpoint of the synchronous relaxation
+
+        ord[c] = 1                          if c has no stream inflow
+               = m + 1  if >= 2 inflows carry the max inflow order m
+               = m      otherwise
+
+    starting from all-1: the update is monotone and inputs only grow,
+    so it converges to the Strahler order in <= depth(longest stream
+    path) rounds.  Each round is one equi-join + two map-side-combinable
+    groupBys over a three-column int64 table (the flow_accumulation
+    shape; max-count extracted via groupBy (dst, ord) counts -> max
+    struct, no window function), localCheckpoint per round, loud
+    failure on non-convergence.  Round count is bounded by stream path
+    length (a terrain property), not data size."""
+    step = 1 << _LON_BITS
+    stream = (acc.where(F.col("acc") >= threshold)
+              .select("dem_id", "cell", "acc").localCheckpoint())
+    scells = stream.select("dem_id", "cell")
+    edges = (flow.join(scells, ["dem_id", "cell"])
+             .where(F.col("flow_dir") >= 0)
+             .select("dem_id", F.col("cell").alias("src"),
+                     _flow_target(step).alias("dst"))
+             .join(scells.select("dem_id", F.col("cell").alias("dst")),
+                   ["dem_id", "dst"])
+             .localCheckpoint())
+    cur = scells.withColumn("ord", F.lit(1).cast("int"))
+    changed = -1
+    for _ in range(max_iter):
+        up = edges.join(
+            cur.select("dem_id", F.col("cell").alias("src"),
+                       F.col("ord").alias("uo")), ["dem_id", "src"])
+        # count per (dst, order) first (<= 8 rows per dst, map-side
+        # combinable), then max(struct(order, count)) picks the top
+        # order together with its multiplicity -- no window needed.
+        per_ord = (up.groupBy("dem_id", F.col("dst").alias("cell"), "uo")
+                   .agg(F.count("*").cast("int").alias("cm")))
+        top = (per_ord.groupBy("dem_id", "cell")
+               .agg(F.max(F.struct("uo", "cm")).alias("t"))
+               .select("dem_id", "cell", F.col("t.uo").alias("mo"),
+                       F.col("t.cm").alias("cm")))
+        new = (scells.join(top, ["dem_id", "cell"], "left")
+               .select("dem_id", "cell",
+                       F.when(F.col("mo").isNull(), F.lit(1))
+                       .when(F.col("cm") >= 2, F.col("mo") + 1)
+                       .otherwise(F.col("mo")).cast("int").alias("ord"))
+               .localCheckpoint())
+        changed = (new.join(cur.withColumnRenamed("ord", "old"),
+                            ["dem_id", "cell"])
+                   .where(F.col("ord") != F.col("old")).count())
+        cur = new
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"strahler did not converge in {max_iter} rounds "
+            f"({changed} cells still changing); raise max_iter")
+    return (stream.join(cur, ["dem_id", "cell"])
+            .select("dem_id", "cell", "acc",
+                    F.col("ord").alias("strahler")))
+
+
 def cost_distance(elev: DataFrame, seeds: DataFrame,
                   max_iter: int = 512) -> DataFrame:
     """(dem_id, cell, cost): accumulated-cost distance from the nearest

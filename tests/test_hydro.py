@@ -167,3 +167,88 @@ def test_cost_distance_chain_hand_case(spark):
     assert got == {0: 0.0, 1: 6.0, 2: 9.0}   # (8+4)/2, then + (4+2)/2
     with pytest.raises(RuntimeError, match="did not converge"):
         hydro.cost_distance(elev, seeds, max_iter=1)
+
+
+def test_focal_stats_strip(spark):
+    # 1x3 strip [0, 3, 9], radius 1 (window includes the center):
+    # middle window {0,3,9}: mean 4, std sqrt(14), range 9;
+    # left window {0,3}: mean 1.5, std 1.5.
+    rows = [("d", _key(4, 0), 0.0), ("d", _key(4, 1), 3.0),
+            ("d", _key(4, 2), 9.0)]
+    out = {r["cell"]: r for r in
+           hydro.focal_stats(_elev_df(spark, rows), radius=1).collect()}
+    mid = out[_key(4, 1)]
+    assert mid["n_win"] == 3 and mid["fmean"] == 4.0
+    assert mid["fmin"] == 0.0 and mid["fmax"] == 9.0 and mid["frange"] == 9.0
+    assert abs(mid["fstd"] - 14.0 ** 0.5) < 1e-3
+    left = out[_key(4, 0)]
+    assert left["n_win"] == 2 and left["fmean"] == 1.5 and left["fstd"] == 1.5
+
+
+def test_focal_stats_radius2_window_size(spark):
+    # a 5x5 full grid: the center cell sees all 25 cells at radius 2
+    rows = [("d", _key(la, lo), float(la * 5 + lo))
+            for la in range(5) for lo in range(5)]
+    out = {r["cell"]: r for r in
+           hydro.focal_stats(_elev_df(spark, rows), radius=2).collect()}
+    assert out[_key(2, 2)]["n_win"] == 25
+    assert out[_key(0, 0)]["n_win"] == 9       # corner: 3x3 in-grid
+    assert out[_key(2, 2)]["fmean"] == 12.0    # mean of 0..24
+
+
+def test_openness_strip(spark):
+    # 1x3 strip [0, 3, 9], max_dist 2: cell 0 sees only E
+    # (d=1: 3/1, d=2: 9/2=4.5 -> ht 4.5); middle sees E (6) and W (-3).
+    rows = [("d", _key(4, 0), 0.0), ("d", _key(4, 1), 3.0),
+            ("d", _key(4, 2), 9.0)]
+    out = {r["cell"]: r for r in
+           hydro.openness(_elev_df(spark, rows), max_dist=2).collect()}
+    left = out[_key(4, 0)]
+    assert left["n_dir"] == 1
+    assert left["horizon_mean"] == 4.5 and left["horizon_max"] == 4.5
+    mid = out[_key(4, 1)]
+    assert mid["n_dir"] == 2
+    assert mid["horizon_max"] == 6.0 and mid["horizon_mean"] == 1.5
+
+
+def _y_network(spark):
+    """Two order-1 headwaters merging at m, then draining east to t."""
+    rows = [("d", _key(1, 1), 6, 1.0, 0),    # h1 -> S  -> m
+            ("d", _key(0, 0), 0, 1.0, 0),    # h2 -> E  -> m
+            ("d", _key(0, 1), 0, 1.0, 2),    # m  -> E  -> t
+            ("d", _key(0, 2), -1, 0.0, 1)]   # t: pit
+    flow = spark.createDataFrame(
+        rows, "dem_id string, cell long, flow_dir int, drop double, "
+              "n_inflow long")
+    acc = spark.createDataFrame(
+        [("d", _key(1, 1), 1), ("d", _key(0, 0), 1),
+         ("d", _key(0, 1), 3), ("d", _key(0, 2), 4)],
+        "dem_id string, cell long, acc long")
+    return flow, acc
+
+
+def test_strahler_y_merge(spark):
+    flow, acc = _y_network(spark)
+    out = {r["cell"]: r for r in
+           hydro.strahler(flow, acc, threshold=1).collect()}
+    assert out[_key(1, 1)]["strahler"] == 1
+    assert out[_key(0, 0)]["strahler"] == 1
+    assert out[_key(0, 1)]["strahler"] == 2   # two order-1 inflows merge
+    assert out[_key(0, 2)]["strahler"] == 2   # single order-2 inflow
+    assert out[_key(0, 2)]["acc"] == 4
+
+
+def test_strahler_threshold_cuts_headwaters(spark):
+    # threshold 2 drops both headwaters from the stream set: m loses its
+    # stream inflows and restarts at order 1.
+    flow, acc = _y_network(spark)
+    out = {r["cell"]: r["strahler"] for r in
+           hydro.strahler(flow, acc, threshold=2).collect()}
+    assert out == {_key(0, 1): 1, _key(0, 2): 1}
+
+
+def test_strahler_unconverged_raises(spark):
+    import pytest
+    flow, acc = _y_network(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        hydro.strahler(flow, acc, threshold=1, max_iter=1)
