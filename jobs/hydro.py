@@ -1,6 +1,7 @@
 """spark-submit job: DEM hydrology stack -- flow direction ->
-accumulation -> watershed -> ruggedness, staged and resumable, output
-committed as an Iceberg-style snapshot table.
+accumulation -> watershed -> ruggedness -> flow length -> Strahler
+stream order, staged and resumable, output committed as an
+Iceberg-style snapshot table.
 
 Usage:
 
@@ -34,6 +35,9 @@ def main():
     ap.add_argument("--checkpoint-root", default=None,
                     help="lineage root: resume elevation stage from manifest")
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--stream-threshold", type=int, default=5,
+                    help="flow-accumulation threshold for the stream "
+                         "network (Strahler order)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,14 +62,19 @@ def main():
     elev = elev.localCheckpoint()           # shared by all four operators
 
     flow = hydro.flow_direction(elev).localCheckpoint()
-    acc = hydro.flow_accumulation(flow)
+    acc = hydro.flow_accumulation(flow).localCheckpoint()
     basins = hydro.watershed(flow)
     tri = hydro.ruggedness(elev)
+    flen = hydro.flow_length(flow)
+    order = hydro.strahler(flow, acc, threshold=args.stream_threshold) \
+        .select("dem_id", "cell", "strahler")
 
     result = (flow
               .join(acc, ["dem_id", "cell"])
               .join(basins, ["dem_id", "cell"])
-              .join(tri, ["dem_id", "cell"], "left"))
+              .join(tri, ["dem_id", "cell"], "left")
+              .join(flen, ["dem_id", "cell"], "left")
+              .join(order, ["dem_id", "cell"], "left"))
 
     tbl = SnapshotTable(spark, args.out)
     snap = tbl.overwrite(result)
@@ -74,11 +83,18 @@ def main():
         F.count("*").alias("cells"),
         F.sum(F.when(F.col("flow_dir") < 0, 1).otherwise(0)).alias("pits"),
         F.count_distinct("basin").alias("basins"),
-        F.max("acc").alias("max_drainage")).collect()[0]
+        F.max("acc").alias("max_drainage"),
+        F.max("flen").alias("max_flow_length"),
+        F.sum(F.when(F.col("strahler").isNotNull(), 1).otherwise(0))
+        .alias("stream_cells"),
+        F.max("strahler").alias("max_order")).collect()[0]
     print(json.dumps({
         "cells": summary["cells"], "pits": int(summary["pits"]),
         "basins": summary["basins"],
         "max_drainage": int(summary["max_drainage"]),
+        "max_flow_length": float(summary["max_flow_length"] or 0.0),
+        "stream_cells": int(summary["stream_cells"]),
+        "max_order": int(summary["max_order"] or 0),
         "snapshot": snap, "wall_sec": round(time.time() - t0, 2)}))
     spark.stop()
 

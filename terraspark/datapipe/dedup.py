@@ -588,3 +588,67 @@ def incremental_dedup(corpus: DataFrame, new_docs: DataFrame,
                     F.when(F.col("_c"), F.lit("corpus_dup"))
                     .when(F.col("_s"), F.lit("shard_dup"))
                     .otherwise(F.lit("kept")).alias("verdict")))
+
+
+def winnowing(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """(doc_id, n_grams, n_windows, n_selected, sel_ratio): MOSS-style
+    winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003)
+    over word k-grams: slide a window of w consecutive k-gram hashes
+    and select each window's minimum hash, breaking ties to the
+    RIGHTMOST position; the distinct selected positions are the
+    document's fingerprints (guaranteed to share a fingerprint with
+    any other document matching >= w + k - 1 consecutive words).
+
+    Distributed shape: gram hashes are generated map-side from the
+    split-word array (JVM higher-order functions, no UDF); each gram
+    row fans out to its <= w member windows (constant factor w), one
+    map-side-combinable MIN per window, one DISTINCT + count per doc.
+    No window function -> no per-doc sort; text itself never shuffles.
+
+    Rightmost-min is encoded in the MIN key: md5hex (32 chars) ||
+    zero-padded (10^7 - pos), so lexicographic MIN picks the smallest
+    hash and, among ties, the largest position.  Positions are capped
+    at 10^7 grams/doc by the pad width (far above any sane document;
+    the paragraph/jaccard caps bound doc length upstream anyway).
+
+    Short docs follow the house shingle convention (dedup.py
+    minhash_shingle_signature): n_grams and n_windows floor at 1, so
+    every document emits at least one fingerprint."""
+    d0 = spread_input(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws"))
+    d1 = d0.select(
+        "doc_id",
+        F.greatest(F.size("ws") - (k - 1), F.lit(1)).alias("n_grams"),
+        "ws")
+    grams = d1.selectExpr(
+        "doc_id", "n_grams",
+        f"posexplode(transform(sequence(1, n_grams), "
+        f"i -> md5(concat_ws(' ', slice(ws, i, {k}))))) AS (pos, h)")
+    key = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(9999999) - F.col("pos")).cast("string"), 7, "0"))
+    member = (grams
+              .select("doc_id", "n_grams", "pos", key.alias("key"),
+                      F.explode(F.sequence(F.lit(0), F.lit(w - 1)))
+                      .alias("j"))
+              .withColumn("s", F.col("pos") - F.col("j"))
+              .where((F.col("s") >= 0)
+                     & (F.col("s") < F.greatest(F.col("n_grams")
+                                                - (w - 1), F.lit(1)))))
+    wins = member.groupBy("doc_id", "s").agg(F.min("key").alias("mk"))
+    sel = (wins.select(
+        "doc_id",
+        (F.lit(9999999) - F.substring("mk", 33, 7).cast("int"))
+        .alias("sp")).distinct())
+    cnt = sel.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_selected"))
+    base = d1.select(
+        "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+        F.greatest(F.col("n_grams") - (w - 1), F.lit(1)).cast("long")
+        .alias("n_windows"))
+    return (base.join(cnt, "doc_id", "left")
+            .select("doc_id", "n_grams", "n_windows",
+                    F.coalesce("n_selected", F.lit(0)).cast("long")
+                    .alias("n_selected"),
+                    F.round(F.coalesce("n_selected", F.lit(0))
+                            / F.col("n_windows"), 6).alias("sel_ratio")))

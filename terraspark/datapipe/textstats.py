@@ -323,3 +323,36 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
             & (F.col("symbol_ratio") <= 0.1)
             & (F.col("alpha_frac") >= 0.8))
     return d.withColumn("keep", keep)
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, entropy, norm_entropy): Shannon
+    entropy of the within-document token distribution plus type-token
+    ratio -- the lexical-diversity quality signal (low entropy = boiler-
+    plate / keyword stuffing; complements repetition()'s top-fraction
+    rule with a distribution-wide measure).
+
+    entropy = ln(n) - sum(c * ln c) / n over per-token counts c;
+    norm_entropy divides by ln(n_types) (the max possible), 0 for
+    single-type docs.  Distributed shape: one token explode + two
+    map-side-combinable groupBys; counts table is (docs x types) narrow
+    rows, text never shuffles."""
+    toks = spread_input(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    per = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("c"))
+    h = (F.log(F.sum("c"))
+         - F.sum(F.col("c") * F.log("c")) / F.sum("c"))
+    return (per.groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_types"),
+                 h.alias("H"))
+            .select("doc_id", "n_tokens", "n_types",
+                    F.round(F.col("n_types") / F.col("n_tokens"), 6)
+                    .alias("ttr"),
+                    F.round("H", 6).alias("entropy"),
+                    F.round(F.when(F.col("n_types") > 1,
+                                   F.col("H")
+                                   / F.log(F.col("n_types")
+                                           .cast("double")))
+                            .otherwise(0.0), 6).alias("norm_entropy")))

@@ -393,6 +393,58 @@ def strahler(flow: DataFrame, acc: DataFrame, threshold: int = 5,
                     F.col("ord").alias("strahler")))
 
 
+def flow_length(flow: DataFrame, max_iter: int = 512) -> DataFrame:
+    """(dem_id, cell, flen): longest upstream flow-path length per cell
+    (the r.watershed "length of flow path" output) -- the geometric
+    distance (unit grid spacing, sqrt(2) diagonals) along the longest
+    drainage path that terminates at each cell; headwater cells get 0.
+
+    Distributed shape: max-plus relaxation over the D8 flow edges --
+    per round one equi-join + one map-side-combinable MAX per
+    destination, localCheckpoint per round, loud failure on
+    non-convergence (the flow_accumulation contract).  Values only
+    grow, so the fixpoint lands in depth(longest path) rounds.
+
+    Determinism: every candidate length is the left-fold of the
+    identical f64 distance sequence along its unique upstream path
+    (the flow graph is functional), and MAX over exact f64s is
+    order-free, so engine and the recursive-CTE oracle agree
+    bit-for-bit before the 6-dp round."""
+    step = 1 << _LON_BITS
+    dist = F.lit(None).cast("double")
+    for d, _, _, dl in reversed(D8):
+        dist = F.when(F.col("flow_dir") == d,
+                      F.expr(f"CAST('{dl!r}' AS DOUBLE)")).otherwise(dist)
+    edges = (flow.where(F.col("flow_dir") >= 0)
+             .select("dem_id", F.col("cell").alias("src"),
+                     _flow_target(step).alias("dst"), dist.alias("d"))
+             .localCheckpoint())
+    base = flow.select("dem_id", "cell").localCheckpoint()
+    cur = base.withColumn("flen", F.lit(0.0))
+    changed = -1
+    for _ in range(max_iter):
+        relax = (edges.join(
+            cur.select("dem_id", F.col("cell").alias("src"),
+                       F.col("flen").alias("ul")), ["dem_id", "src"])
+            .groupBy("dem_id", F.col("dst").alias("cell"))
+            .agg(F.max(F.col("ul") + F.col("d")).alias("via")))
+        new = (base.join(relax, ["dem_id", "cell"], "left")
+               .select("dem_id", "cell",
+                       F.coalesce("via", F.lit(0.0)).alias("flen"))
+               .localCheckpoint())
+        changed = (new.join(cur.withColumnRenamed("flen", "old"),
+                            ["dem_id", "cell"])
+                   .where(F.col("flen") != F.col("old")).count())
+        cur = new
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"flow_length did not converge in {max_iter} rounds "
+            f"({changed} cells still changing); raise max_iter")
+    return cur.select("dem_id", "cell", F.round("flen", 6).alias("flen"))
+
+
 def cost_distance(elev: DataFrame, seeds: DataFrame,
                   max_iter: int = 512) -> DataFrame:
     """(dem_id, cell, cost): accumulated-cost distance from the nearest
@@ -464,3 +516,105 @@ def cost_distance(elev: DataFrame, seeds: DataFrame,
             f"cost_distance did not converge in {max_iter} rounds "
             f"({changed} cells still relaxing); raise max_iter")
     return d.select("dem_id", "cell", F.round("cost", 6).alias("cost"))
+
+
+def shadow_mask(elev: DataFrame, sun_dir: int = 3, sun_tan: float = 0.25,
+                max_dist: int = 4) -> DataFrame:
+    """(dem_id, cell, horizon_tan, shadowed): cast-shadow detection for
+    topographic correction -- a cell is shadowed when the terrain
+    horizon toward the sun rises above the sun's elevation angle, i.e.
+    max over d = 1..max_dist of (elev_nbr - elev) / (unit_len * d)
+    along the sun-azimuth D8 direction exceeds tan(sun elevation).
+    Shadow masking is the standard pre-step before the reference's
+    illumination corrections (cos-i goes negative / meaningless in cast
+    shadow; the reference's kernels only see self-shadowing via cos-i,
+    processing_alg/execution_context.py:200-247).
+
+    Tangent scale end-to-end (sun_tan, not degrees): the comparison is
+    a pure f64 predicate over the same left-fold both engines compute,
+    so no transcendental enters the contract.
+
+    Distributed shape: the single-direction slice of :func:`openness`
+    -- max_dist delta keys per cell, one equi-join, one
+    map-side-combinable MAX.  Border cells with no in-grid neighbor
+    toward the sun get horizon_tan = -inf semantics (never shadowed),
+    reported as NULL-free 0-row absence -> LEFT JOIN back, shadowed
+    false."""
+    step = 1 << _LON_BITS
+    by_dir = {d: (dla, dlo, dist) for d, dla, dlo, dist in D8}
+    dla, dlo, dist = by_dir[sun_dir]
+    entries = ", ".join(
+        f"named_struct('delta', {dla * k}L * {step}L + {dlo * k}L, "
+        f"'dist', CAST('{dist * k!r}' AS DOUBLE))"
+        for k in range(1, max_dist + 1))
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.explode(F.expr(f"array({entries})")).alias("s"))
+           .withColumn("target", F.col("cell") + F.col("s.delta")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    tan = (F.col("nelev") - F.col("elev")) / F.col("s.dist")
+    ht = (nbr.join(other, ["dem_id", "target"])
+          .groupBy("dem_id", "cell").agg(F.max(tan).alias("ht")))
+    thresh = F.expr(f"CAST('{sun_tan!r}' AS DOUBLE)")
+    return (elev.select("dem_id", "cell")
+            .join(ht, ["dem_id", "cell"], "left")
+            .select("dem_id", "cell",
+                    F.round(F.coalesce("ht", F.lit(0.0)), 6)
+                    .alias("horizon_tan"),
+                    F.coalesce(F.col("ht") > thresh, F.lit(False))
+                    .alias("shadowed")))
+
+
+def curvature(elev: DataFrame) -> DataFrame:
+    """(dem_id, cell, profile_c, plan_c): Zevenbergen & Thorne (1987)
+    profile and plan curvature over the 3x3 cell window (unit grid
+    spacing) -- the cell-granularity counterpart of the pixel-level
+    slope/aspect window in dem.py (same 9-point stencil, next
+    derivative order).  Only cells with a full 8-neighborhood are
+    emitted (curvature at a grid border is undefined in the 9-point
+    scheme; GDAL's -compute_edges interpolation is a display nicety,
+    not analysis).
+
+    Stencil (ilat +1 = north): z1 z2 z3 / z4 z5 z6 / z7 z8 z9 with z2
+    north, z4 west.  D = ((z4+z6)/2 - z5), E = ((z2+z8)/2 - z5),
+    Fc = (-z1+z3+z7-z9)/4, G = (-z4+z6)/2, H = (z2-z8)/2;
+    profile = -2(D G^2 + E H^2 + Fc G H) / (G^2+H^2),
+    plan    =  2(D H^2 + E G^2 - Fc G H) / (G^2+H^2), 0 on flat
+    (G=H=0).  One 8-offset neighbor join + one pivot groupBy --
+    identical arithmetic in the SQL oracle."""
+    step = 1 << _LON_BITS
+    #      stencil position -> (dlat, dlon)
+    pos = {1: (1, -1), 2: (1, 0), 3: (1, 1),
+           4: (0, -1), 6: (0, 1),
+           7: (-1, -1), 8: (-1, 0), 9: (-1, 1)}
+    entries = ", ".join(
+        f"named_struct('p', {p}, 'delta', {dla}L * {step}L + {dlo}L)"
+        for p, (dla, dlo) in pos.items())
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.explode(F.expr(f"array({entries})")).alias("s"))
+           .withColumn("target", F.col("cell") + F.col("s.delta")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    j = nbr.join(other, ["dem_id", "target"])
+    z = {p: F.max(F.when(F.col("s.p") == p, F.col("nelev")))
+         for p in pos}
+    piv = (j.groupBy("dem_id", "cell")
+           .agg(F.count("*").alias("n_nbr"),
+                F.first("elev").alias("z5"),
+                *[z[p].alias(f"z{p}") for p in pos])
+           .where(F.col("n_nbr") == 8))
+    D = (F.col("z4") + F.col("z6")) / 2 - F.col("z5")
+    E = (F.col("z2") + F.col("z8")) / 2 - F.col("z5")
+    Fc = (-F.col("z1") + F.col("z3") + F.col("z7") - F.col("z9")) / 4
+    G = (-F.col("z4") + F.col("z6")) / 2
+    H = (F.col("z2") - F.col("z8")) / 2
+    g2h2 = G * G + H * H
+    prof = F.when(g2h2 > 0,
+                  F.lit(-2.0) * (D * G * G + E * H * H + Fc * G * H)
+                  / g2h2).otherwise(0.0)
+    plan = F.when(g2h2 > 0,
+                  F.lit(2.0) * (D * H * H + E * G * G - Fc * G * H)
+                  / g2h2).otherwise(0.0)
+    return piv.select("dem_id", "cell",
+                      F.round(prof, 6).alias("profile_c"),
+                      F.round(plan, 6).alias("plan_c"))

@@ -329,3 +329,20 @@ def test_gopher_rules_hand_cases(spark):
     assert abs(got.loc[3, "alpha_frac"] - 0.0) < 1e-9
     assert not bool(got.loc[4, "keep"])
     assert abs(got.loc[4, "mean_word_len"] - 20.0) < 1e-9
+
+
+def test_token_entropy_hand_case(spark):
+    import math
+    from terraspark.datapipe import textstats
+    docs = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "x x x")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in textstats.token_entropy(docs).collect()}
+    d1 = out["d1"]
+    assert d1["n_tokens"] == 3 and d1["n_types"] == 2
+    h = math.log(3) - (2 * math.log(2)) / 3
+    assert d1["entropy"] == round(h, 6)
+    assert d1["norm_entropy"] == round(h / math.log(2), 6)
+    assert d1["ttr"] == round(2 / 3, 6)
+    d2 = out["d2"]                       # single type: zero entropy
+    assert d2["entropy"] == 0.0 and d2["norm_entropy"] == 0.0

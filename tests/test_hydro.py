@@ -252,3 +252,78 @@ def test_strahler_unconverged_raises(spark):
     flow, acc = _y_network(spark)
     with pytest.raises(RuntimeError, match="did not converge"):
         hydro.strahler(flow, acc, threshold=1, max_iter=1)
+
+
+def test_flow_length_hand_grid(spark):
+    # 3x3 bowl grid from the accumulation test: verify the longest
+    # upstream path lengths at the pit and along the known tree.
+    grid = {(2, 0): 5.0, (2, 1): 6.0, (2, 2): 7.0,
+            (1, 0): 4.0, (1, 1): 9.0, (1, 2): 8.0,
+            (0, 0): 1.0, (0, 1): 2.0, (0, 2): 3.0}
+    rows = [("d", _key(la, lo), v) for (la, lo), v in grid.items()]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    out = {r["cell"]: r["flen"]
+           for r in hydro.flow_length(flow).collect()}
+    # headwaters have no upstream path
+    assert out[_key(2, 2)] == 0.0 and out[_key(1, 1)] == 0.0
+    # (2,2)->(2,1) is one unit W step -> flen[(2,1)] = 1
+    assert out[_key(2, 1)] == 1.0
+    # longest into the pit: (2,2)->(2,1)->(1,0)->(0,0): 1 + sqrt2 + 1
+    # (flen ships rounded to 6 dp)
+    import math
+    assert out[_key(0, 0)] == round(2.0 + math.sqrt(2.0), 6)
+
+
+def test_flow_length_unconverged_raises(spark):
+    import pytest
+    flow, _ = _y_network(spark)
+    ok = {r["cell"]: r["flen"]
+          for r in hydro.flow_length(flow, max_iter=10).collect()}
+    assert ok[_key(0, 2)] == 2.0   # h2 -> m -> t, two unit E steps
+    with pytest.raises(RuntimeError, match="did not converge"):
+        hydro.flow_length(flow, max_iter=1)
+
+
+def test_shadow_mask_nw_sun(spark):
+    # b=(3,2) sits NW of a=(2,3): a's horizon toward the NW sun is
+    # (1-0)/sqrt2 ~ 0.707 > 0.25 -> shadowed; b has no NW neighbor.
+    rows = [("d", _key(2, 3), 0.0), ("d", _key(3, 2), 1.0)]
+    out = {r["cell"]: r for r in
+           hydro.shadow_mask(_elev_df(spark, rows), sun_dir=3,
+                             sun_tan=0.25).collect()}
+    import math
+    a = out[_key(2, 3)]
+    assert a["shadowed"] is True
+    assert a["horizon_tan"] == round(1.0 / math.sqrt(2.0), 6)
+    b = out[_key(3, 2)]
+    assert b["shadowed"] is False and b["horizon_tan"] == 0.0
+
+
+def test_shadow_mask_threshold(spark):
+    # same geometry, sun high enough (tan 0.8 > 0.707): no shadow
+    rows = [("d", _key(2, 3), 0.0), ("d", _key(3, 2), 1.0)]
+    out = {r["cell"]: r["shadowed"] for r in
+           hydro.shadow_mask(_elev_df(spark, rows), sun_dir=3,
+                             sun_tan=0.8).collect()}
+    assert out[_key(2, 3)] is False
+
+
+def test_curvature_parabolic_ridge(spark):
+    # z = x^2 + x over the 3x3 window: D=1, E=0, Fc=0, G=1, H=0 ->
+    # profile = -2, plan = 0; only the center has a full neighborhood.
+    rows = [("d", _key(3 + dy, 3 + dx), float(dx * dx + dx))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    out = hydro.curvature(_elev_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cell"] == _key(3, 3)
+    assert r["profile_c"] == -2.0 and r["plan_c"] == 0.0
+
+
+def test_curvature_flat_guard(spark):
+    # a flat 3x3 window: G = H = 0 -> both curvatures 0 by the guard
+    rows = [("d", _key(3 + dy, 3 + dx), 7.0)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    out = hydro.curvature(_elev_df(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["profile_c"] == 0.0 and out[0]["plan_c"] == 0.0
