@@ -356,3 +356,36 @@ def token_entropy(docs: DataFrame) -> DataFrame:
                                    / F.log(F.col("n_types")
                                            .cast("double")))
                             .otherwise(0.0), 6).alias("norm_entropy")))
+
+
+def chunk_documents(docs: DataFrame, size: int = 200,
+                    stride: int = 150) -> DataFrame:
+    """RAG-style overlapping character chunking: one row per chunk with
+    byte-offset lineage and a content digest.
+
+    Chunks start at offsets 0, stride, 2*stride, ... while the offset is
+    strictly inside the document; each chunk is ``size`` characters
+    (the final chunk is the shorter tail).  With stride < size adjacent
+    chunks overlap by size - stride characters -- the standard
+    retrieval-index prep (LangChain/LlamaIndex character splitters, the
+    fixed-size variant).  Emitting (offset, length, md5) instead of the
+    chunk text keeps the output narrow: the digest is the join key into
+    an embedding/index stage, and the offsets reconstruct the chunk from
+    the source document without duplicating the corpus.
+
+    Distributed shape: sequence + explode + substring is a pure narrow
+    map (no shuffle at all); Catalyst evaluates substring after the
+    explode so only chunk-sized strings materialize.  At 100 TB the
+    operator is scan-bound and embarrassingly parallel."""
+    n = F.length("text")
+    last = (F.floor((n - 1) / stride) * stride).cast("long")
+    offs = F.sequence(F.lit(0).cast("long"), last,
+                      F.lit(stride).cast("long"))
+    chunk = F.expr(f"substring(text, off + 1, {int(size)})")
+    return (spread_input(docs.where(n > 0))
+            .select("doc_id", "text", F.explode(offs).alias("off"))
+            .select("doc_id",
+                    (F.col("off") / stride).cast("int").alias("chunk_id"),
+                    F.col("off").alias("off"),
+                    F.length(chunk).cast("long").alias("chunk_len"),
+                    F.md5(chunk).alias("chunk_md5")))

@@ -618,3 +618,101 @@ def curvature(elev: DataFrame) -> DataFrame:
     return piv.select("dem_id", "cell",
                       F.round(prof, 6).alias("profile_c"),
                       F.round(plan, 6).alias("plan_c"))
+
+
+def wetness_index(flow: DataFrame, acc: DataFrame,
+                  eps: float = 0.001) -> DataFrame:
+    """(dem_id, cell, acc, twi): topographic wetness index
+    ln(contributing_area / local_slope_tangent) -- the standard soil-
+    moisture / saturation proxy (Beven & Kirkby 1979, the r.topidx /
+    SAGA "Topographic Wetness Index" output) and a direct consumer of
+    the two hydrology primitives already in this module.
+
+    The reference stops at slope/aspect as correction inputs
+    (/root/reference/processing_alg/execution_context.py:200-247); TWI
+    is the natural next derived layer over the same cell grid.
+
+    Semantics: contributing area = D8 flow accumulation (cell count,
+    unit cell area); local slope tangent = the steepest-descent drop
+    from :func:`flow_direction` (already distance-normalized, so it IS
+    tan(beta) on the unit grid); pits (drop = 0) are regularized with
+    ``eps`` exactly like r.topidx's minimum-slope floor:
+
+        twi = ln(acc / (drop + eps))
+
+    Distributed shape: one equi-join of two (dem_id, cell, scalar)
+    tables that share the flow-routing partitioning, then a pure
+    column expression -- no new shuffle beyond the inputs' own.  ln is
+    the only transcendental and both engines delegate to libm, so the
+    6-dp round is deterministic (the dp_token_entropy convention)."""
+    eps_lit = F.expr(f"CAST('{eps!r}' AS DOUBLE)")
+    return (flow.select("dem_id", "cell", "drop")
+            .join(acc, ["dem_id", "cell"])
+            .select("dem_id", "cell", "acc",
+                    F.round(F.log(F.col("acc") / (F.col("drop") + eps_lit)),
+                            6).alias("twi")))
+
+
+def viewshed(elev: DataFrame, max_dist: int = 4) -> DataFrame:
+    """(dem_id, cell, n_rays, n_visible, horizon_tan): 8-ray
+    line-of-sight viewshed statistics -- for every cell, along each D8
+    ray at distances 1..max_dist, a target is VISIBLE when its
+    elevation tangent from the observer strictly exceeds every nearer
+    tangent on the same ray (the r.viewshed / GRASS line-of-sight rule
+    restricted to the 8 principal rays).
+
+    n_rays counts in-grid targets, n_visible the visible ones, and
+    horizon_tan is the max tangent over all rays (the all-direction
+    horizon, openness' max slice).  Region grids are rectangles, so
+    ray existence is prefix-closed: t_k present implies t_1..t_{k-1}
+    present, and the strict-> prefix-max rule is well defined.
+
+    Distributed shape: the :func:`openness` join (8 * max_dist delta
+    keys per cell, one equi-join), then a (cell, dir) pivot groupBy
+    and a final per-cell groupBy -- both map-side-combinable; the
+    prefix-max visibility test is a closed-form CASE over the pivoted
+    t_1..t_max columns (no window function, no iteration).  Pure f64
+    ratio arithmetic -- no transcendental in the visibility predicate."""
+    step = 1 << _LON_BITS
+    entries = ", ".join(
+        f"named_struct('dir', {d}, 'k', {k}, "
+        f"'delta', {dla * k}L * {step}L + {dlo * k}L, "
+        f"'dist', CAST('{dist * k!r}' AS DOUBLE))"
+        for d, dla, dlo, dist in D8 for k in range(1, max_dist + 1))
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.explode(F.expr(f"array({entries})")).alias("s"))
+           .withColumn("target", F.col("cell") + F.col("s.delta")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    tan = (F.col("nelev") - F.col("elev")) / F.col("s.dist")
+    t = {k: F.max(F.when(F.col("s.k") == k, tan))
+         for k in range(1, max_dist + 1)}
+    ray = (nbr.join(other, ["dem_id", "target"])
+           .groupBy("dem_id", "cell", F.col("s.dir").alias("dir"))
+           .agg(F.count("*").alias("n_t"),
+                *[t[k].alias(f"t{k}") for k in range(1, max_dist + 1)]))
+    vis = F.lit(1)  # t1: nearest target on an existing ray, always seen
+    for k in range(2, max_dist + 1):
+        # prefix-closed rays: t_k non-null implies t_1..t_{k-1} non-null,
+        # so prior is never null when the comparison matters; a null t_k
+        # (ray left the grid) makes the WHEN condition null -> +0.
+        prior = (F.col("t1") if k == 2 else
+                 F.greatest(*[F.col(f"t{j}") for j in range(1, k)]))
+        vis = vis + F.when(F.col(f"t{k}") > prior, 1).otherwise(0)
+    per_dir = ray.select(
+        "dem_id", "cell", "n_t", vis.alias("nv"),
+        F.greatest(*[F.col(f"t{k}")
+                     for k in range(1, max_dist + 1)]).alias("ht"))
+    return (elev.select("dem_id", "cell")
+            .join(per_dir.groupBy("dem_id", "cell")
+                  .agg(F.sum("n_t").cast("long").alias("n_rays"),
+                       F.sum("nv").cast("long").alias("n_visible"),
+                       F.max("ht").alias("ht")),
+                  ["dem_id", "cell"], "left")
+            .select("dem_id", "cell",
+                    F.coalesce("n_rays", F.lit(0)).cast("long")
+                    .alias("n_rays"),
+                    F.coalesce("n_visible", F.lit(0)).cast("long")
+                    .alias("n_visible"),
+                    F.round(F.coalesce("ht", F.lit(0.0)), 6)
+                    .alias("horizon_tan")))

@@ -346,3 +346,55 @@ def test_token_entropy_hand_case(spark):
     assert d1["ttr"] == round(2 / 3, 6)
     d2 = out["d2"]                       # single type: zero entropy
     assert d2["entropy"] == 0.0 and d2["norm_entropy"] == 0.0
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    from terraspark.datapipe.textstats import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 150), (3, "c" * 151), (4, "")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, size=200, stride=150).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 500 chars -> offsets 0,150,300,450; lengths 200,200,200,50
+    c1 = sorted(by_doc[1], key=lambda r: r["off"])
+    assert [r["off"] for r in c1] == [0, 150, 300, 450]
+    assert [r["chunk_len"] for r in c1] == [200, 200, 200, 50]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+    # exactly one stride: single chunk (off 150 == len is excluded)
+    assert [r["off"] for r in by_doc[2]] == [0]
+    # one char past the stride boundary: second chunk of length 1
+    c3 = sorted(by_doc[3], key=lambda r: r["off"])
+    assert [(r["off"], r["chunk_len"]) for r in c3] == [(0, 151), (150, 1)]
+    # empty text: no rows
+    assert 4 not in by_doc
+    # overlap: adjacent chunks share size - stride = 50 chars
+    import hashlib
+    assert c1[0]["chunk_md5"] == hashlib.md5(b"a" * 200).hexdigest()
+
+
+def test_profile_table_hand_case(spark):
+    from terraspark.datapipe.profiling import profile_table
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, None, 4.0), (3, "x", None)],
+        "id long, s string, v double")
+    out = {r["col"]: r for r in
+           profile_table(df, string_cols=["s"],
+                         numeric_cols=["id", "v"]).collect()}
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 1
+    assert out["s"]["vavg"] is None
+    assert out["id"]["n_distinct"] == 3 and out["id"]["vavg"] == 2.0
+    assert out["v"]["n_null"] == 1 and out["v"]["vmin"] == 2.0 \
+        and out["v"]["vmax"] == 4.0 and out["v"]["vavg"] == 3.0
+
+
+def test_embed_dim_stats_hand_case(spark):
+    from terraspark.datapipe.profiling import embed_dim_stats
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 10.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in embed_dim_stats(df).collect()}
+    assert out[0]["n"] == 2 and out[0]["dmean"] == 2.0
+    assert out[0]["dstd"] == 1.0  # sqrt(mean(x^2) - mean^2) = sqrt(5-4)
+    assert out[1]["dstd"] == 0.0 and out[1]["dmin"] == 10.0

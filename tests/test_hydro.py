@@ -327,3 +327,49 @@ def test_curvature_flat_guard(spark):
     out = hydro.curvature(_elev_df(spark, rows)).collect()
     assert len(out) == 1
     assert out[0]["profile_c"] == 0.0 and out[0]["plan_c"] == 0.0
+
+
+def test_wetness_index_hand_grid(spark):
+    import math
+    # strip: 3 -> 2 -> 1 (E-to-W descent); pit at (5,0)
+    rows = [("d", _key(5, 0), 1.0), ("d", _key(5, 1), 2.0),
+            ("d", _key(5, 2), 3.0)]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    acc = hydro.flow_accumulation(flow)
+    out = {r["cell"]: r for r in
+           hydro.wetness_index(flow, acc).collect()}
+    # head cell: acc 1, drop 1.0 -> ln(1 / 1.001)
+    assert abs(out[_key(5, 2)]["twi"]
+               - round(math.log(1 / 1.001), 6)) < 1e-12
+    # pit: acc 3, drop 0 -> ln(3 / 0.001)
+    assert out[_key(5, 0)]["acc"] == 3
+    assert abs(out[_key(5, 0)]["twi"]
+               - round(math.log(3 / 0.001), 6)) < 1e-12
+
+
+def test_viewshed_ridge_blocks(spark):
+    # W-to-E strip: observer 0, ridge +10 at d=1, then flat 0s: the
+    # ridge is visible, everything behind it (tan < 10) is occluded.
+    rows = [("d", _key(5, 0), 0.0), ("d", _key(5, 1), 10.0),
+            ("d", _key(5, 2), 0.0), ("d", _key(5, 3), 0.0),
+            ("d", _key(5, 4), 0.0)]
+    out = {r["cell"]: r for r in
+           hydro.viewshed(_elev_df(spark, rows), max_dist=4).collect()}
+    obs = out[_key(5, 0)]
+    # E ray: 4 targets, only the ridge visible; horizon tan = 10
+    assert obs["n_rays"] == 4
+    assert obs["n_visible"] == 1
+    assert abs(obs["horizon_tan"] - 10.0) < 1e-9
+    # ridge cell sees its E neighbors descending: only nearest visible
+    ridge = out[_key(5, 1)]
+    assert ridge["n_rays"] == 4  # W:1 + E:3
+
+
+def test_viewshed_monotone_all_visible(spark):
+    # strictly rising E ray -> every target visible from the base
+    rows = [("d", _key(5, k), float(k * k)) for k in range(5)]
+    out = {r["cell"]: r for r in
+           hydro.viewshed(_elev_df(spark, rows), max_dist=4).collect()}
+    obs = out[_key(5, 0)]
+    # tangents k*k/k = k strictly increase -> all 4 visible
+    assert obs["n_visible"] == 4
