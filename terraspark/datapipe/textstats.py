@@ -389,3 +389,95 @@ def chunk_documents(docs: DataFrame, size: int = 200,
                     F.col("off").alias("off"),
                     F.length(chunk).cast("long").alias("chunk_len"),
                     F.md5(chunk).alias("chunk_md5")))
+
+
+def topp_vocab(docs: DataFrame,
+               ps: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """(p, n_tokens_needed, vocab_frac, mass_frac): nucleus-style
+    vocabulary coverage -- the minimal number of distinct tokens
+    (taken most-frequent-first) whose corpus mass reaches each
+    probability threshold, the tokenizer-budget / vocab-truncation
+    planning table.
+
+    Scale-safe total ordering WITHOUT a corpus-wide window: token
+    counts collapse to frequency classes (one row per distinct
+    frequency -- thousands of rows regardless of corpus size), the
+    cumulative runs over that tiny table, and the boundary class
+    contributes ceil((p * total - mass_above) / f) tokens -- tokens
+    inside one class are interchangeable, so the count is exact and
+    order-free.  mass_frac is the mass actually covered by the chosen
+    tokens.
+
+    Distributed shape: one token-count groupBy (map-side combined),
+    one count-of-counts groupBy, then a window over the frequency-class
+    table only."""
+    from pyspark.sql import Window
+
+    tok = (spread_input(docs)
+           .select(F.explode(F.split("text", " ")).alias(
+               "tok")).where(F.col("tok") != ""))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("f"))
+    cls = cnt.groupBy("f").agg(F.count("*").cast("long").alias("k"))
+    w = Window.orderBy(F.desc("f")) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cum = cls.select(
+        "f", "k",
+        F.coalesce(F.sum(F.col("f") * F.col("k")).over(w), F.lit(0))
+        .alias("mass_above"),
+        F.coalesce(F.sum("k").over(w), F.lit(0)).alias("toks_above"))
+    tot = cnt.agg(F.sum("f").alias("total"),
+                  F.count("*").alias("vocab"))
+    j = cum.crossJoin(F.broadcast(tot))
+    rows = []
+    for p in ps:
+        need = F.ceil((F.lit(p) * F.col("total") - F.col("mass_above"))
+                      / F.col("f"))
+        # boundary class: the first f (descending) whose class closes
+        # the gap to p * total
+        hit = (j.where((F.col("mass_above") + F.col("f") * F.col("k"))
+                       >= F.lit(p) * F.col("total"))
+               .orderBy(F.desc("f")).limit(1)
+               .select(F.lit(p).alias("p"),
+                       (F.col("toks_above") + need).cast("long")
+                       .alias("n_tokens_needed"),
+                       F.round((F.col("toks_above") + need)
+                               / F.col("vocab"), 6).alias("vocab_frac"),
+                       F.round((F.col("mass_above") + need * F.col("f"))
+                               / F.col("total"), 6).alias("mass_frac")))
+        rows.append(hit)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def source_lang_shift(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_langs, kl): per-source language-distribution
+    shift vs the corpus -- KL(P(lang | source) || P(lang)) in nats, the
+    standard drift / contamination audit run per ingest source before
+    mixing (a source whose language mix diverges from the corpus is
+    either specialized or mislabeled).
+
+    KL is a sum over the langs PRESENT in the source (P > 0 there;
+    Q > 0 because the source's rows are part of the corpus), so no
+    smoothing is needed and the fold is exact count arithmetic plus
+    one ln per (source, lang) -- both engines delegate ln to libm
+    (the dp_token_entropy convention).
+
+    Distributed shape: one (source, lang) groupBy (map-side combined)
+    does ALL the counting; corpus and per-source marginals derive from
+    that tiny table; final KL is a groupBy over it.  Nothing rescans
+    the corpus."""
+    sl = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    per_src = sl.groupBy("source").agg(F.sum("n").alias("ns"))
+    per_lang = sl.groupBy("lang").agg(F.sum("n").alias("nl"))
+    tot = sl.agg(F.sum("n").alias("nt"))
+    j = (sl.join(F.broadcast(per_src), "source")
+         .join(F.broadcast(per_lang), "lang")
+         .crossJoin(F.broadcast(tot)))
+    p = F.col("n") / F.col("ns")
+    q = F.col("nl") / F.col("nt")
+    return (j.groupBy("source")
+            .agg(F.max("ns").cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_langs"),
+                 F.round(F.sum(p * F.log(p / q)), 6).alias("kl")))

@@ -716,3 +716,159 @@ def viewshed(elev: DataFrame, max_dist: int = 4) -> DataFrame:
                     .alias("n_visible"),
                     F.round(F.coalesce("ht", F.lit(0.0)), 6)
                     .alias("horizon_tan")))
+
+
+def fill_sinks(elev: DataFrame, max_iter: int = 64) -> DataFrame:
+    """(dem_id, cell, elev, filled, fill_depth): depression filling by
+    the Planchon-Darboux fixpoint (the GRASS r.fill.dir / RichDEM
+    epsilon=0 rule) -- the preprocessing step every production flow
+    model runs BEFORE :func:`flow_direction`, so spurious pits don't
+    truncate drainage.
+
+    The reference stops at slope/aspect (/root/reference/processing_alg/
+    execution_context.py:200-247); filling completes the standard
+    fill -> flow -> accumulate hydrology chain over the same cell grid.
+
+    Semantics: boundary cells (fewer than 8 in-grid neighbors) are
+    fixed at their own elevation; interior water levels start at the
+    per-DEM maximum and relax monotonically through
+
+        W(c) = max(elev(c), min over 8 neighbors of W(n))
+
+    until nothing changes.  The fixpoint is the filled surface: pits
+    rise to their pour-point elevation, everything else returns to
+    elev.  Values are pure min/max selections of input doubles -- no
+    arithmetic -- so engine and oracle agree bit-for-bit and the
+    equality-based convergence test is exact.
+
+    Distributed shape: the :func:`flow_accumulation` loop -- one
+    8-neighbor equi-join + one map-side-combinable MIN per round over a
+    three-column table, localCheckpoint per round to keep lineage flat.
+    Round count is bounded by pit pour-path length (terrain, not data
+    size); like flow_accumulation an unconverged exit raises rather
+    than returning a wrong surface."""
+    step = 1 << _LON_BITS
+    deltas = [dla * step + dlo for _, dla, dlo, _ in D8]
+    dlist = ", ".join(f"{d}L" for d in deltas)
+    nbr = (elev.select("dem_id", "cell",
+                       F.explode(F.expr(f"array({dlist})")).alias("d"))
+           .withColumn("target", F.col("cell") + F.col("d")))
+    present = elev.select("dem_id", F.col("cell").alias("target"),
+                          F.col("elev").alias("nelev"))
+    deg = (nbr.join(present, ["dem_id", "target"])
+           .groupBy("dem_id", "cell")
+           .agg(F.count("*").alias("n_nbr")))
+    top = elev.groupBy("dem_id").agg(F.max("elev").alias("wmax"))
+    base = (elev.join(deg, ["dem_id", "cell"])
+            .join(F.broadcast(top), "dem_id")
+            .select("dem_id", "cell", "elev",
+                    (F.col("n_nbr") < 8).alias("boundary"), "wmax")
+            .localCheckpoint())
+    w = base.select(
+        "dem_id", "cell",
+        F.when(F.col("boundary"), F.col("elev")).otherwise(F.col("wmax"))
+        .alias("w"))
+    changed = -1
+    for _ in range(max_iter):
+        nw = (nbr.join(w.select("dem_id",
+                                F.col("cell").alias("target"),
+                                F.col("w").alias("nw")),
+                       ["dem_id", "target"])
+              .groupBy("dem_id", "cell")
+              .agg(F.min("nw").alias("mn")))
+        new = (base.join(nw, ["dem_id", "cell"], "left")
+               .select("dem_id", "cell",
+                       F.when(F.col("boundary"), F.col("elev"))
+                       .otherwise(F.greatest(
+                           F.col("elev"),
+                           F.coalesce("mn", F.col("wmax")))).alias("w"))
+               .localCheckpoint())
+        changed = (new.join(w.withColumnRenamed("w", "old"),
+                            ["dem_id", "cell"])
+                   .where(F.col("w") != F.col("old")).count())
+        w = new
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"fill_sinks did not converge in {max_iter} rounds "
+            f"({changed} cells still changing); raise max_iter (rounds "
+            f"are bounded by pit pour-path length, not data size)")
+    # 6-dp presentation round: elev means carry batch-reduction low-bit
+    # noise (~1e-13) relative to the per-row numpy model, and filled is
+    # a selection among them; the relaxation itself runs on raw f64s.
+    return (elev.join(w, ["dem_id", "cell"])
+            .select("dem_id", "cell",
+                    F.round("elev", 6).alias("elev"),
+                    F.round("w", 6).alias("filled"),
+                    F.round(F.col("w") - F.col("elev"), 6)
+                    .alias("fill_depth")))
+
+
+def hypsometry(elev: DataFrame, bins: int = 10) -> DataFrame:
+    """(dem_id, bin, n_cells, area_frac, rel_mean): hypsometric
+    distribution -- the area share of each relative-elevation band,
+    the curve geomorphologists read basin maturity from (Strahler's
+    hypsometric analysis; the `gdalinfo -hist` / r.hypso shape).
+
+    bin = floor((elev - min) / (max - min) * bins), clamped to
+    bins - 1 (flat DEMs collapse to bin 0); rel_mean is the mean
+    relative elevation within the band, 6-dp.
+
+    Distributed shape: one tiny per-DEM min/max agg broadcast back,
+    then a single map-side-combinable groupBy -- two narrow shuffles
+    regardless of raster size."""
+    mm = elev.groupBy("dem_id").agg(F.min("elev").alias("lo"),
+                                    F.max("elev").alias("hi"))
+    rel = (elev.join(F.broadcast(mm), "dem_id")
+           .select("dem_id",
+                   F.when(F.col("hi") > F.col("lo"),
+                          (F.col("elev") - F.col("lo"))
+                          / (F.col("hi") - F.col("lo")))
+                   .otherwise(F.lit(0.0)).alias("r")))
+    b = F.least(F.floor(F.col("r") * bins).cast("int"), F.lit(bins - 1))
+    return (rel.groupBy("dem_id", b.alias("bin"))
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.round(F.sum("r") / F.count("*"), 6).alias("rel_mean"))
+            .join(F.broadcast(elev.groupBy("dem_id")
+                              .agg(F.count("*").alias("tot"))), "dem_id")
+            .select("dem_id", "bin", "n_cells",
+                    F.round(F.col("n_cells") / F.col("tot"), 6)
+                    .alias("area_frac"),
+                    "rel_mean"))
+
+
+def sky_view_factor(elev: DataFrame, max_dist: int = 4) -> DataFrame:
+    """(dem_id, cell, n_dir, svf): sky-view factor -- the fraction of
+    the sky hemisphere visible from each cell (SAGA "Sky View Factor",
+    Zaksek et al. 2011, 8-direction discretization): per direction the
+    visible sky is 1 - sin(horizon angle), and with the horizon known
+    by its TANGENT t that is 1 - t/sqrt(1+t^2) -- pure f64 arithmetic
+    (sqrt only, no trig), so engine and oracle agree bit-for-bit.
+    Negative horizons (ridgelines: terrain falls away in every
+    sampled direction) clamp to 0, the flat-horizon convention.
+
+    svf = mean over in-grid directions of 1 - max(t,0)/sqrt(1+t^2),
+    6-dp.  Consumes the :func:`openness` join shape unchanged -- one
+    delta-key fan-out, one equi-join, two map-side-combinable
+    groupBys."""
+    step = 1 << _LON_BITS
+    entries = ", ".join(
+        f"named_struct('dir', {d}, "
+        f"'delta', {dla * k}L * {step}L + {dlo * k}L, "
+        f"'dist', CAST('{dist * k!r}' AS DOUBLE))"
+        for d, dla, dlo, dist in D8 for k in range(1, max_dist + 1))
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.explode(F.expr(f"array({entries})")).alias("s"))
+           .withColumn("target", F.col("cell") + F.col("s.delta")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    j = nbr.join(other, ["dem_id", "target"])
+    tan = (F.col("nelev") - F.col("elev")) / F.col("s.dist")
+    per_dir = (j.groupBy("dem_id", "cell", F.col("s.dir").alias("dir"))
+               .agg(F.max(tan).alias("ht")))
+    t = F.greatest(F.col("ht"), F.lit(0.0))
+    sky = 1.0 - t / F.sqrt(1.0 + t * t)
+    return (per_dir.groupBy("dem_id", "cell")
+            .agg(F.count("*").cast("long").alias("n_dir"),
+                 F.round(F.avg(sky), 6).alias("svf")))

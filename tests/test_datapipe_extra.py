@@ -398,3 +398,58 @@ def test_embed_dim_stats_hand_case(spark):
     assert out[0]["n"] == 2 and out[0]["dmean"] == 2.0
     assert out[0]["dstd"] == 1.0  # sqrt(mean(x^2) - mean^2) = sqrt(5-4)
     assert out[1]["dstd"] == 0.0 and out[1]["dmin"] == 10.0
+
+
+def test_topp_vocab_hand_case(spark):
+    from terraspark.datapipe.textstats import topp_vocab
+    # corpus: 'a' x6, 'b' x3, 'c' x1  (total 10, vocab 3)
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "b b b"), (3, "c")],
+        "doc_id long, text string")
+    out = {round(r["p"], 2): r for r in
+           topp_vocab(docs, ps=(0.5, 0.9, 0.99)).collect()}
+    # p=0.5: 'a' alone covers 6/10 >= 5 -> 1 token, mass 0.6
+    assert out[0.5]["n_tokens_needed"] == 1
+    assert out[0.5]["mass_frac"] == 0.6
+    # p=0.9: a+b = 9/10 >= 9 -> 2 tokens
+    assert out[0.9]["n_tokens_needed"] == 2
+    assert out[0.9]["mass_frac"] == 0.9
+    # p=0.99: needs all 3 (9 < 9.9)
+    assert out[0.99]["n_tokens_needed"] == 3
+    assert out[0.99]["vocab_frac"] == 1.0
+
+
+def test_topp_vocab_tie_class_partial_take(spark):
+    from terraspark.datapipe.textstats import topp_vocab
+    # four tokens each f=1: p=0.5 of total 4 -> ceil(2/1)=2 tokens
+    docs = spark.createDataFrame([(1, "w x y z")],
+                                 "doc_id long, text string")
+    out = {round(r["p"], 2): r for r in
+           topp_vocab(docs, ps=(0.5,)).collect()}
+    assert out[0.5]["n_tokens_needed"] == 2
+    assert out[0.5]["vocab_frac"] == 0.5
+    assert out[0.5]["mass_frac"] == 0.5
+
+
+def test_source_lang_shift_hand_case(spark):
+    import math
+    from terraspark.datapipe.textstats import source_lang_shift
+    # corpus: 4 en, 2 fr.  src_a matches the corpus mix -> KL 0;
+    # src_b is all-fr -> KL = ln(1 / (2/6)) = ln(3)
+    rows = [(1, "t", "en", "src_a"), (2, "t", "en", "src_a"),
+            (3, "t", "fr", "src_a"),
+            (4, "t", "en", "src_b"), (5, "t", "en", "src_b"),
+            (6, "t", "fr", "src_b")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r for r in source_lang_shift(docs).collect()}
+    # both sources have the SAME mix as the corpus -> KL 0
+    assert out["src_a"]["kl"] == 0.0 and out["src_b"]["kl"] == 0.0
+    rows2 = rows[:3] + [(4, "t", "fr", "src_b"), (5, "t", "fr", "src_b"),
+                        (6, "t", "fr", "src_b")]
+    docs2 = spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string")
+    out2 = {r["source"]: r for r in source_lang_shift(docs2).collect()}
+    # corpus now 2 en / 4 fr; src_b all-fr: KL = ln(1/(4/6)) = ln(1.5)
+    assert abs(out2["src_b"]["kl"] - round(math.log(1.5), 6)) < 1e-12
+    assert out2["src_b"]["n_langs"] == 1

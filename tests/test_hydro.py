@@ -373,3 +373,82 @@ def test_viewshed_monotone_all_visible(spark):
     obs = out[_key(5, 0)]
     # tangents k*k/k = k strictly increase -> all 4 visible
     assert obs["n_visible"] == 4
+
+
+def test_fill_sinks_pit_rises_to_pour_point(spark):
+    # 5x5 grid, rim 5.0 with a 3.0 outlet AT the boundary (water exits
+    # only through boundary cells), inner ring 4.0 with a 2.0 channel
+    # toward the outlet, center pit 1.0: the pit and channel fill to
+    # the outlet's 3.0 pour level, the 4.0 ring is untouched.
+    rows = []
+    for la in range(5):
+        for lo in range(5):
+            if la == 2 and lo == 2:
+                v = 1.0          # pit
+            elif la in (0, 4) or lo in (0, 4):
+                v = 3.0 if (la, lo) == (2, 0) else 5.0  # rim + outlet
+            elif (la, lo) == (2, 1):
+                v = 2.0          # channel from pit toward the outlet
+            else:
+                v = 4.0          # inner ring
+            rows.append(("d", _key(la, lo), v))
+    out = {r["cell"]: r for r in
+           hydro.fill_sinks(_elev_df(spark, rows)).collect()}
+    # channel: W = max(2, min nbr W) with the 3.0 outlet adjacent -> 3
+    assert out[_key(2, 1)]["filled"] == 3.0
+    assert abs(out[_key(2, 1)]["fill_depth"] - 1.0) < 1e-12
+    # pit: lowest route out is over the channel at 3.0
+    assert out[_key(2, 2)]["filled"] == 3.0
+    assert abs(out[_key(2, 2)]["fill_depth"] - 2.0) < 1e-12
+    # boundary cells never move
+    assert out[_key(0, 0)]["filled"] == 5.0
+    assert out[_key(2, 0)]["filled"] == 3.0
+    # inner-ring cells above the pour level return to their elevation
+    assert out[_key(1, 1)]["filled"] == 4.0
+
+
+def test_fill_sinks_no_pit_identity(spark):
+    # monotone slope: nothing to fill, surface comes back unchanged
+    rows = [("d", _key(la, lo), float(la + lo))
+            for la in range(4) for lo in range(4)]
+    out = hydro.fill_sinks(_elev_df(spark, rows)).collect()
+    assert all(r["fill_depth"] == 0.0 for r in out)
+    assert all(r["filled"] == r["elev"] for r in out)
+
+
+def test_hypsometry_bins_and_fractions(spark):
+    # 10 cells at elevations 0..9: one per decile bin, rel r = k/9
+    rows = [("d", _key(5, k), float(k)) for k in range(10)]
+    out = {r["bin"]: r for r in
+           hydro.hypsometry(_elev_df(spark, rows)).collect()}
+    assert set(out) == set(range(10))
+    assert all(out[b]["n_cells"] == 1 for b in out)
+    assert all(abs(out[b]["area_frac"] - 0.1) < 1e-12 for b in out)
+    # top cell: r = 1.0 clamps into bin 9
+    assert out[9]["rel_mean"] == 1.0
+
+
+def test_hypsometry_flat_dem_single_bin(spark):
+    rows = [("d", _key(5, k), 7.0) for k in range(5)]
+    out = hydro.hypsometry(_elev_df(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0
+    assert out[0]["area_frac"] == 1.0 and out[0]["rel_mean"] == 0.0
+
+
+def test_sky_view_factor_flat_and_wall(spark):
+    # flat 3-cell strip: horizon tangent <= 0 everywhere -> svf = 1
+    rows = [("d", _key(5, k), 2.0) for k in range(3)]
+    out = {r["cell"]: r for r in
+           hydro.sky_view_factor(_elev_df(spark, rows)).collect()}
+    assert all(r["svf"] == 1.0 for r in out.values())
+    # add a wall east of a cell: tangent 1 -> that direction's sky
+    # term is 1 - 1/sqrt(2); the remaining (in-grid W) direction is 1
+    import math
+    rows = [("d", _key(5, 0), 0.0), ("d", _key(5, 1), 0.0),
+            ("d", _key(5, 2), 2.0)]
+    out = {r["cell"]: r for r in
+           hydro.sky_view_factor(_elev_df(spark, rows)).collect()}
+    mid = out[_key(5, 1)]
+    assert mid["n_dir"] == 2  # E and W only (1-row strip)
+    exp = ((1 - 2.0 / math.sqrt(1 + 4.0)) + 1.0) / 2
+    assert abs(mid["svf"] - round(exp, 6)) < 1e-12
