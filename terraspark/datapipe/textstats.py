@@ -481,3 +481,49 @@ def source_lang_shift(docs: DataFrame) -> DataFrame:
             .agg(F.max("ns").cast("long").alias("n_docs"),
                  F.count("*").cast("long").alias("n_langs"),
                  F.round(F.sum(p * F.log(p / q)), 6).alias("kl")))
+
+
+def vocab_overlap(docs: DataFrame, k: int = 100) -> DataFrame:
+    """(lang_a, lang_b, n_common, jaccard): top-k vocabulary overlap
+    between every language pair -- the cross-lingual contamination /
+    code-switching audit (two languages sharing most of their frequent
+    tokens are either related scripts or mislabeled).
+
+    Per-language top-k by (count desc, token asc) -- fully
+    deterministic cut -- then pairwise intersection counts; Jaccard
+    over the fixed-size top-k sets is n_common / (2k' - n_common) with
+    k' the per-language set size (min(k, vocab)).
+
+    Distributed shape: one (lang, token) count groupBy (map-side
+    combined), a per-lang window over ONLY that count table for the
+    top-k cut, then a self-join of the two tiny k x langs frames.  The
+    corpus is scanned once."""
+    from pyspark.sql import Window
+
+    tok = (spread_input(docs)
+           .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+           .where(F.col("tok") != ""))
+    cnt = tok.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    top = (cnt.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= k).select("lang", "tok"))
+    sz = top.groupBy("lang").agg(F.count("*").alias("sz"))
+    a = top.select(F.col("lang").alias("lang_a"), "tok")
+    b = top.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (a.join(b, "tok")
+             .where(F.col("lang_a") < F.col("lang_b"))
+             .groupBy("lang_a", "lang_b")
+             .agg(F.count("*").cast("long").alias("n_common")))
+    pairs = (sz.select(F.col("lang").alias("lang_a"),
+                       F.col("sz").alias("sa"))
+             .crossJoin(sz.select(F.col("lang").alias("lang_b"),
+                                  F.col("sz").alias("sb")))
+             .where(F.col("lang_a") < F.col("lang_b")))
+    return (pairs.join(inter, ["lang_a", "lang_b"], "left")
+            .select("lang_a", "lang_b",
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.round(F.coalesce("n_common", F.lit(0))
+                            / (F.col("sa") + F.col("sb")
+                               - F.coalesce("n_common", F.lit(0))), 6)
+                    .alias("jaccard")))

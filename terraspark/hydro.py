@@ -872,3 +872,42 @@ def sky_view_factor(elev: DataFrame, max_dist: int = 4) -> DataFrame:
     return (per_dir.groupBy("dem_id", "cell")
             .agg(F.count("*").cast("long").alias("n_dir"),
                  F.round(F.avg(sky), 6).alias("svf")))
+
+
+def solar_access(elev: DataFrame, sun_tan: float = 0.25,
+                 max_dist: int = 4) -> DataFrame:
+    """(dem_id, cell, n_dir, n_lit, lit_frac): sun-path sampling -- for
+    each of the 8 D8 azimuths at a fixed solar elevation angle (given
+    as a TANGENT, the shadow_mask convention), the cell is lit from
+    that azimuth when the terrain horizon tangent stays at or below
+    sun_tan.  lit_frac approximates daily sun-hours the way r.sun's
+    discrete sun positions do; it feeds site-selection and the
+    illumination-correction confidence weighting.
+
+    Pure f64 ratio folds + one predicate per direction -- no
+    transcendental.  Reuses the :func:`openness` join shape: one
+    delta-key fan-out, one equi-join, two map-side-combinable
+    groupBys."""
+    step = 1 << _LON_BITS
+    entries = ", ".join(
+        f"named_struct('dir', {d}, "
+        f"'delta', {dla * k}L * {step}L + {dlo * k}L, "
+        f"'dist', CAST('{dist * k!r}' AS DOUBLE))"
+        for d, dla, dlo, dist in D8 for k in range(1, max_dist + 1))
+    nbr = (elev.select("dem_id", "cell", "elev",
+                       F.explode(F.expr(f"array({entries})")).alias("s"))
+           .withColumn("target", F.col("cell") + F.col("s.delta")))
+    other = elev.select("dem_id", F.col("cell").alias("target"),
+                        F.col("elev").alias("nelev"))
+    tan = (F.col("nelev") - F.col("elev")) / F.col("s.dist")
+    per_dir = (nbr.join(other, ["dem_id", "target"])
+               .groupBy("dem_id", "cell", F.col("s.dir").alias("dir"))
+               .agg(F.max(tan).alias("ht")))
+    thresh = F.expr(f"CAST('{sun_tan!r}' AS DOUBLE)")
+    lit = F.when(F.col("ht") <= thresh, 1).otherwise(0)
+    return (per_dir.groupBy("dem_id", "cell")
+            .agg(F.count("*").cast("long").alias("n_dir"),
+                 F.sum(lit).cast("long").alias("n_lit"))
+            .select("dem_id", "cell", "n_dir", "n_lit",
+                    F.round(F.col("n_lit") / F.col("n_dir"), 6)
+                    .alias("lit_frac")))

@@ -453,3 +453,19 @@ def test_source_lang_shift_hand_case(spark):
     # corpus now 2 en / 4 fr; src_b all-fr: KL = ln(1/(4/6)) = ln(1.5)
     assert abs(out2["src_b"]["kl"] - round(math.log(1.5), 6)) < 1e-12
     assert out2["src_b"]["n_langs"] == 1
+
+
+def test_vocab_overlap_hand_case(spark):
+    from terraspark.datapipe.textstats import vocab_overlap
+    docs = spark.createDataFrame(
+        [(1, "x y z", "en", "s"), (2, "x y w", "fr", "s"),
+         (3, "q r s t", "de", "s")],
+        "doc_id long, text string, lang string, source string")
+    out = {(r["lang_a"], r["lang_b"]): r
+           for r in vocab_overlap(docs, k=10).collect()}
+    # en={x,y,z}, fr={x,y,w}: common 2, union 4 -> jaccard 0.5
+    assert out[("en", "fr")]["n_common"] == 2
+    assert out[("en", "fr")]["jaccard"] == 0.5
+    # de shares nothing with en: pair present with zero overlap
+    assert out[("de", "en")]["n_common"] == 0
+    assert out[("de", "en")]["jaccard"] == 0.0

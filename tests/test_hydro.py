@@ -452,3 +452,18 @@ def test_sky_view_factor_flat_and_wall(spark):
     assert mid["n_dir"] == 2  # E and W only (1-row strip)
     exp = ((1 - 2.0 / math.sqrt(1 + 4.0)) + 1.0) / 2
     assert abs(mid["svf"] - round(exp, 6)) < 1e-12
+
+
+def test_solar_access_wall_blocks_one_azimuth(spark):
+    # flat strip with a tall E wall: the middle cell loses only the E
+    # azimuth (tangent 3 > 0.25); W stays lit (tangent 0 <= 0.25)
+    rows = [("d", _key(5, 0), 0.0), ("d", _key(5, 1), 0.0),
+            ("d", _key(5, 2), 3.0)]
+    out = {r["cell"]: r for r in
+           hydro.solar_access(_elev_df(spark, rows),
+                              sun_tan=0.25).collect()}
+    mid = out[_key(5, 1)]
+    assert mid["n_dir"] == 2 and mid["n_lit"] == 1
+    assert mid["lit_frac"] == 0.5
+    # the wall cell itself: everything below it -> fully lit
+    assert out[_key(5, 2)]["n_lit"] == out[_key(5, 2)]["n_dir"]
