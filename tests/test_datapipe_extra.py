@@ -469,3 +469,23 @@ def test_vocab_overlap_hand_case(spark):
     # de shares nothing with en: pair present with zero overlap
     assert out[("de", "en")]["n_common"] == 0
     assert out[("de", "en")]["jaccard"] == 0.0
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    import hashlib
+    import __spark_entry__ as E
+    out = {r["doc_id"]: r for r in
+           E.queries()["dp_pii_scan"](spark, "").collect()}
+    # doc 0: divisible by 3, 4, 5 -> one of each PII kind
+    r0 = out[0]
+    assert (r0["n_email"], r0["n_phone"], r0["n_ip"]) == (1, 1, 1)
+    assert r0["has_pii"]
+    exp0 = ("user 0 writes lorem data mail <EMAIL> call <PHONE>"
+            " host <IP>")
+    assert r0["redacted_md5"] == hashlib.md5(exp0.encode()).hexdigest()
+    # doc 1: no PII; redaction is the identity
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ip"]) == (0, 0, 0)
+    assert not r1["has_pii"]
+    exp1 = "user 1 writes lorem data"
+    assert r1["redacted_md5"] == hashlib.md5(exp1.encode()).hexdigest()
