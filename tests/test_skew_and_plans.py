@@ -166,3 +166,34 @@ def test_joined_repartition_only_when_scan_narrow(spark, fixture_tables):
     assert "hashpartitioning(image_id" in plan_n
     for eng in (eng_w, eng_n):
         eng.unpersist()
+
+
+def test_new_rel_ops_plan_shapes(spark):
+    """Plan guards for the round-5 relational additions: small sides
+    broadcast, no sort-merge join sneaks in, and the single-shuffle
+    claims hold (window reuses the aggregation's partitioning)."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+
+    # rel_winsorize: percentile cut points join back via broadcast
+    plan = qs["rel_winsorize"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # rel_markov: denominator joins back via broadcast
+    plan = qs["rel_markov"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # rel_velocity: ONE user_id exchange serves window + final agg --
+    # no second hash-partitioning on user_id after the window sort
+    plan = qs["rel_velocity"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") == 1
+
+    # rel_tpch_q10: nation broadcast; date filter pushed to the scan
+    df = qs["rel_tpch_q10"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
