@@ -489,3 +489,32 @@ def test_pii_scan_counts_and_redaction(spark):
     assert not r1["has_pii"]
     exp1 = "user 1 writes lorem data"
     assert r1["redacted_md5"] == hashlib.md5(exp1.encode()).hexdigest()
+
+
+def test_weighted_sample_keys_and_determinism(spark):
+    """The Efraimidis-Spirakis key matches a python replica of the
+    instr-arithmetic uniform, heavier docs get systematically larger
+    (less negative) keys in expectation, and the cut is reproducible."""
+    import hashlib
+    import math
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["dp_weighted_sample"](spark, sf).toPandas()
+    # per-lang k <= 10, ranks dense from 1
+    for lang, g in out.groupby("lang"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 10
+    # replicate the key for each sampled row
+    hexd = "0123456789abcdef"
+    for r in out.itertuples():
+        hh = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        v = 0
+        for i in range(6):
+            v = v * 16 + hexd.index(hh[i])
+        exp = round(math.log((v + 1) / 16777216.0) / r.n_chars, 12)
+        assert abs(r.es_key - exp) < 1e-15, r
+    # determinism: a second run returns the identical frame
+    out2 = E.queries()["dp_weighted_sample"](spark, sf).toPandas()
+    assert out.sort_values(["lang", "rank"]).reset_index(drop=True) \
+        .equals(out2.sort_values(["lang", "rank"]).reset_index(drop=True))
