@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--stream-threshold", type=int, default=5,
                     help="flow-accumulation threshold for the stream "
                          "network (Strahler order)")
+    ap.add_argument("--derived", action="store_true",
+                    help="also compute the derived layers: Planchon-"
+                         "Darboux fill depth, topographic wetness "
+                         "index, and sky-view factor")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -75,6 +79,15 @@ def main():
               .join(tri, ["dem_id", "cell"], "left")
               .join(flen, ["dem_id", "cell"], "left")
               .join(order, ["dem_id", "cell"], "left"))
+    if args.derived:
+        fill = hydro.fill_sinks(elev).select("dem_id", "cell",
+                                             "fill_depth")
+        twi = hydro.wetness_index(flow, acc).select("dem_id", "cell",
+                                                    "twi")
+        svf = hydro.sky_view_factor(elev).select("dem_id", "cell", "svf")
+        result = (result.join(fill, ["dem_id", "cell"], "left")
+                  .join(twi, ["dem_id", "cell"], "left")
+                  .join(svf, ["dem_id", "cell"], "left"))
 
     tbl = SnapshotTable(spark, args.out)
     snap = tbl.overwrite(result)
@@ -88,14 +101,23 @@ def main():
         F.sum(F.when(F.col("strahler").isNotNull(), 1).otherwise(0))
         .alias("stream_cells"),
         F.max("strahler").alias("max_order")).collect()[0]
-    print(json.dumps({
+    line = {
         "cells": summary["cells"], "pits": int(summary["pits"]),
         "basins": summary["basins"],
         "max_drainage": int(summary["max_drainage"]),
         "max_flow_length": float(summary["max_flow_length"] or 0.0),
         "stream_cells": int(summary["stream_cells"]),
         "max_order": int(summary["max_order"] or 0),
-        "snapshot": snap, "wall_sec": round(time.time() - t0, 2)}))
+        "snapshot": snap, "wall_sec": round(time.time() - t0, 2)}
+    if args.derived:
+        drv = result.agg(
+            F.round(F.sum("fill_depth"), 4).alias("fill_volume"),
+            F.round(F.max("twi"), 4).alias("max_twi"),
+            F.round(F.min("svf"), 4).alias("min_svf")).collect()[0]
+        line.update(fill_volume=float(drv["fill_volume"] or 0.0),
+                    max_twi=float(drv["max_twi"] or 0.0),
+                    min_svf=float(drv["min_svf"] or 0.0))
+    print(json.dumps(line))
     spark.stop()
 
 
