@@ -911,3 +911,63 @@ def solar_access(elev: DataFrame, sun_tan: float = 0.25,
             .select("dem_id", "cell", "n_dir", "n_lit",
                     F.round(F.col("n_lit") / F.col("n_dir"), 6)
                     .alias("lit_frac")))
+
+
+def stream_segments(flow: DataFrame, acc: DataFrame,
+                    threshold: int = 5, max_iter: int = 40) -> DataFrame:
+    """(dem_id, segment, n_cells, seg_len): stream-network segment
+    extraction -- the raster->vector step of r.to.vect/r.stream.order
+    pipelines.  Stream cells are acc >= threshold; a segment is a
+    maximal chain of stream cells broken at JUNCTIONS (stream cells
+    receiving >= 2 stream inflows), labeled by its downstream end cell;
+    seg_len sums the D8 step lengths of the edges inside the segment.
+
+    Distributed shape: the flow frame is rewritten so chains STOP at
+    junction boundaries (flow_dir := -1 where the downstream stream
+    cell has stream-inflow != 1), then :func:`watershed`'s pointer
+    doubling labels every cell with its segment end in O(log depth)
+    rounds -- no new machinery; segment length is one
+    map-side-combinable SUM over the continuing edges joined back to
+    their source's label."""
+    step = 1 << _LON_BITS
+    streams = (flow.join(acc, ["dem_id", "cell"])
+               .where(F.col("acc") >= threshold)
+               .select("dem_id", "cell", "flow_dir")
+               .localCheckpoint())
+    sset = streams.select("dem_id", F.col("cell").alias("dst"))
+    dist = sum(F.when(F.col("flow_dir") == d,
+                      F.expr(f"CAST('{dd!r}' AS DOUBLE)"))
+               .otherwise(F.lit(0.0)) for d, _, _, dd in D8)
+    sedges = (streams.where(F.col("flow_dir") >= 0)
+              .select("dem_id", F.col("cell").alias("src"),
+                      _flow_target(step).alias("dst"),
+                      dist.alias("d"))
+              .join(sset, ["dem_id", "dst"]))
+    sin = sedges.groupBy("dem_id", F.col("dst").alias("cell")) \
+        .agg(F.count("*").alias("n_in"))
+    cont = (sedges.join(sin.select("dem_id",
+                                   F.col("cell").alias("dst"), "n_in"),
+                        ["dem_id", "dst"])
+            .where(F.col("n_in") == 1)
+            .select("dem_id", "src", "dst", "d")
+            .localCheckpoint())
+    # rewrite the flow so only CONTINUING edges keep their direction
+    mod = (streams.join(cont.select("dem_id",
+                                    F.col("src").alias("cell"),
+                                    F.lit(1).alias("go")),
+                        ["dem_id", "cell"], "left")
+           .select("dem_id", "cell",
+                   F.when(F.col("go").isNotNull(), F.col("flow_dir"))
+                   .otherwise(F.lit(-1)).cast("int").alias("flow_dir")))
+    seg = watershed(mod, max_iter=max_iter) \
+        .select("dem_id", "cell", F.col("basin").alias("segment"),
+                F.col("basin_size").alias("n_cells"))
+    slen = (cont.join(seg.select("dem_id", F.col("cell").alias("src"),
+                                 "segment"), ["dem_id", "src"])
+            .groupBy("dem_id", "segment")
+            .agg(F.round(F.sum("d"), 6).alias("seg_len")))
+    return (seg.select("dem_id", "segment", "n_cells").distinct()
+            .join(slen, ["dem_id", "segment"], "left")
+            .select("dem_id", "segment", "n_cells",
+                    F.round(F.coalesce("seg_len", F.lit(0.0)), 6)
+                    .alias("seg_len")))

@@ -467,3 +467,37 @@ def test_solar_access_wall_blocks_one_azimuth(spark):
     assert mid["lit_frac"] == 0.5
     # the wall cell itself: everything below it -> fully lit
     assert out[_key(5, 2)]["n_lit"] == out[_key(5, 2)]["n_dir"]
+
+
+def test_stream_segments_junction_breaks_chain(spark):
+    # Y network: west chain (1,0)->(1,1) and north head (2,2) both
+    # drain into junction (1,2), trunk continues to pit (1,3).
+    # threshold=1 -> all 5 cells are stream; the junction (2 inflows)
+    # breaks chains: segments {(1,0),(1,1)}, {(2,2)}, {(1,2),(1,3)}.
+    rows = [("d", _key(1, 0), 5.0), ("d", _key(1, 1), 4.0),
+            ("d", _key(1, 2), 3.0), ("d", _key(1, 3), 2.0),
+            ("d", _key(2, 2), 6.0)]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    acc = hydro.flow_accumulation(flow)
+    out = {r["segment"]: r for r in
+           hydro.stream_segments(flow, acc, threshold=1).collect()}
+    assert len(out) == 3
+    west = out[_key(1, 1)]
+    assert west["n_cells"] == 2 and west["seg_len"] == 1.0
+    head = out[_key(2, 2)]
+    assert head["n_cells"] == 1 and head["seg_len"] == 0.0
+    trunk = out[_key(1, 3)]
+    assert trunk["n_cells"] == 2 and trunk["seg_len"] == 1.0
+
+
+def test_stream_segments_plain_chain_single_segment(spark):
+    # 8-cell descending strip, threshold 5: the last 4 cells form ONE
+    # junction-free segment of length 3 ending at the pit.
+    rows = [("d", _key(3, i), float(10 - i)) for i in range(8)]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    acc = hydro.flow_accumulation(flow)
+    out = hydro.stream_segments(flow, acc, threshold=5).collect()
+    assert len(out) == 1
+    seg = out[0]
+    assert seg["segment"] == _key(3, 7)
+    assert seg["n_cells"] == 4 and seg["seg_len"] == 3.0
