@@ -971,3 +971,82 @@ def stream_segments(flow: DataFrame, acc: DataFrame,
             .select("dem_id", "segment", "n_cells",
                     F.round(F.coalesce("seg_len", F.lit(0.0)), 6)
                     .alias("seg_len")))
+
+
+def hand(elev: DataFrame, flow: DataFrame, acc: DataFrame,
+         threshold: int = 5, max_iter: int = 64) -> DataFrame:
+    """(dem_id, cell, reached, dist_to_stream, hand): Height Above
+    Nearest Drainage (Rennó et al. 2008; r.stream.distance) -- walk
+    each cell's D8 flow path downstream to the FIRST stream cell
+    (acc >= threshold); hand = own elevation minus that stream cell's,
+    dist_to_stream = the summed step lengths of the walk.  The flood-
+    risk / riparian-zone layer every hydrology stack ends with.
+    Cells whose path dead-ends in a non-stream pit report
+    reached = false with NULL distance/hand.
+
+    Distributed shape: an absorbing one-step relaxation -- per round,
+    rows whose walk position is not yet a stream cell (and still has a
+    flow edge) advance one hop carrying (position, accumulated f64
+    distance); stream positions absorb.  One edge equi-join + one
+    stream-membership left join per round over a four-column frame,
+    localCheckpoint, convergence-detected with the loud-failure
+    backstop (rounds are bounded by flow-path length, not data size).
+    The sequential one-hop fold keeps the f64 distance association
+    identical to the oracle's recursive walk."""
+    step = 1 << _LON_BITS
+    sset = (acc.where(F.col("acc") >= threshold)
+            .select("dem_id", F.col("cell").alias("cur"),
+                    F.lit(True).alias("is_stream"))
+            .localCheckpoint())
+    dist = sum(F.when(F.col("flow_dir") == d,
+                      F.expr(f"CAST('{dd!r}' AS DOUBLE)"))
+               .otherwise(F.lit(0.0)) for d, _, _, dd in D8)
+    ed = (flow.where(F.col("flow_dir") >= 0)
+          .select("dem_id", F.col("cell").alias("src"),
+                  _flow_target(step).alias("dst"), dist.alias("d"))
+          .localCheckpoint())
+    state = elev.select("dem_id", "cell", F.col("cell").alias("cur"),
+                        F.lit(0.0).alias("dist")).localCheckpoint()
+    changed = -1
+    for _ in range(max_iter):
+        nxt = (state
+               .join(sset, ["dem_id", "cur"], "left")
+               .join(ed.select("dem_id", F.col("src").alias("cur"),
+                               "dst", "d"), ["dem_id", "cur"], "left")
+               .select("dem_id", "cell",
+                       F.when(F.col("is_stream").isNull()
+                              & F.col("dst").isNotNull(), F.col("dst"))
+                       .otherwise(F.col("cur")).alias("cur"),
+                       F.when(F.col("is_stream").isNull()
+                              & F.col("dst").isNotNull(),
+                              F.col("dist") + F.col("d"))
+                       .otherwise(F.col("dist")).alias("dist"))
+               .localCheckpoint())
+        changed = (nxt.join(state.select(
+            "dem_id", "cell", F.col("cur").alias("old")),
+            ["dem_id", "cell"])
+            .where(F.col("cur") != F.col("old")).count())
+        state = nxt
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"hand walk did not converge in {max_iter} rounds "
+            f"({changed} cells still advancing); the longest flow path "
+            f"exceeds max_iter -- raise max_iter")
+    send = elev.select("dem_id", F.col("cell").alias("cur"),
+                       F.col("elev").alias("send"))
+    return (elev.join(state.select("dem_id", "cell", "cur", "dist"),
+                      ["dem_id", "cell"])
+            .join(sset.select("dem_id", "cur", "is_stream"),
+                  ["dem_id", "cur"], "left")
+            .join(send, ["dem_id", "cur"])
+            .select("dem_id", "cell",
+                    F.coalesce("is_stream", F.lit(False))
+                    .alias("reached"),
+                    F.when(F.col("is_stream"),
+                           F.round(F.col("dist"), 6))
+                    .alias("dist_to_stream"),
+                    F.when(F.col("is_stream"),
+                           F.round(F.col("elev") - F.col("send"), 6))
+                    .alias("hand")))

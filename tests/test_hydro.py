@@ -501,3 +501,32 @@ def test_stream_segments_plain_chain_single_segment(spark):
     seg = out[0]
     assert seg["segment"] == _key(3, 7)
     assert seg["n_cells"] == 4 and seg["seg_len"] == 3.0
+
+
+def test_hand_chain_and_unreached(spark):
+    import math
+    # 8-cell descending strip, threshold 5: stream = last 4 cells.
+    # cell at position 0 walks 4 hops to the first stream cell (pos 4):
+    # dist 4.0, hand = elev(0) - elev(4) = 4.0.  Stream cells: 0/0.
+    rows = [("d", _key(3, i), float(10 - i)) for i in range(8)]
+    flow = hydro.flow_direction(_elev_df(spark, rows))
+    acc = hydro.flow_accumulation(flow)
+    elev = _elev_df(spark, rows)
+    out = {r["cell"]: r for r in
+           hydro.hand(elev, flow, acc, threshold=5).collect()}
+    head = out[_key(3, 0)]
+    assert head["reached"] and head["dist_to_stream"] == 4.0
+    assert head["hand"] == 4.0
+    sc = out[_key(3, 4)]
+    assert sc["reached"] and sc["dist_to_stream"] == 0.0
+    assert sc["hand"] == 0.0
+    # isolated 2-cell dem: pit never reaches a stream (threshold high)
+    rows2 = [("x", _key(0, 0), 2.0), ("x", _key(0, 1), 1.0)]
+    flow2 = hydro.flow_direction(_elev_df(spark, rows2))
+    out2 = {r["cell"]: r for r in
+            hydro.hand(_elev_df(spark, rows2), flow2,
+                       hydro.flow_accumulation(flow2),
+                       threshold=5).collect()}
+    assert not out2[_key(0, 0)]["reached"]
+    assert out2[_key(0, 0)]["hand"] is None
+    assert out2[_key(0, 0)]["dist_to_stream"] is None
