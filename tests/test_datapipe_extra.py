@@ -518,3 +518,35 @@ def test_weighted_sample_keys_and_determinism(spark):
     out2 = E.queries()["dp_weighted_sample"](spark, sf).toPandas()
     assert out.sort_values(["lang", "rank"]).reset_index(drop=True) \
         .equals(out2.sort_values(["lang", "rank"]).reset_index(drop=True))
+
+
+def test_dup_by_source_hand_case(spark, tmp_path):
+    """Drive the REAL registry query against a hand corpus written as
+    a temporary sf_dir."""
+    import __spark_entry__ as E
+    docs = spark.createDataFrame(
+        [(1, "same text", "en", "a", 9), (2, "same text", "en", "b", 9),
+         (3, "unique one", "en", "a", 10),
+         (4, "unique two", "en", "b", 10),
+         (5, "same text", "en", "a", 9)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           E.queries()["dp_dup_by_source"](spark, str(tmp_path))
+           .collect()}
+    # source a: 3 docs, 2 copies of the shared text; source b: 2 docs,
+    # 1 copy -- cross-source duplication counts on both sides
+    assert out["a"]["n_docs"] == 3 and out["a"]["n_dup"] == 2
+    assert out["b"]["n_docs"] == 2 and out["b"]["n_dup"] == 1
+    assert abs(out["b"]["dup_frac"] - 0.5) < 1e-12
+
+
+def test_langid_confusion_rows_sum_to_one(spark):
+    import __spark_entry__ as E
+    out = E.queries()["dp_langid_confusion"](
+        spark, "/root/testdata/sf0.001").toPandas()
+    # row fractions per labeled lang sum to 1 (within rounding)
+    for lang, g in out.groupby("lang"):
+        assert abs(g["row_frac"].sum() - 1.0) < 1e-4, lang
+    assert (out["n"] > 0).all()
