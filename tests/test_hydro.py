@@ -530,3 +530,98 @@ def test_hand_chain_and_unreached(spark):
     assert not out2[_key(0, 0)]["reached"]
     assert out2[_key(0, 0)]["hand"] is None
     assert out2[_key(0, 0)]["dist_to_stream"] is None
+
+
+def _py_d8(g):
+    """Python reference D8: (flow_to, drop) per cell, ties to lowest
+    dir index; None for pits."""
+    import math as _m
+    n, m = g.shape
+    out = {}
+    for la in range(n):
+        for lo in range(m):
+            best = None
+            for d, dla, dlo, dist in hydro.D8:
+                ta, to = la + dla, lo + dlo
+                if 0 <= ta < n and 0 <= to < m:
+                    drop = (g[la, lo] - g[ta, to]) / dist
+                    if drop > 0 and (best is None or drop > best[0]
+                                     or (drop == best[0] and d < best[1])):
+                        best = (drop, d, (ta, to), dist)
+            out[(la, lo)] = best
+    return out
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fill_sinks_matches_python_reference(spark, seed):
+    """Random 5x5 grids: the engine fixpoint equals a plain python
+    Planchon-Darboux relaxation (boundary pinned, interior from the
+    max, W = max(elev, min nbr W))."""
+    rng = np.random.default_rng(seed)
+    n = 5
+    g = rng.uniform(0.0, 10.0, (n, n))
+    W = np.full((n, n), g.max())
+    b = np.zeros((n, n), bool)
+    b[0, :] = b[-1, :] = b[:, 0] = b[:, -1] = True
+    W[b] = g[b]
+    for _ in range(500):
+        old = W.copy()
+        for la in range(1, n - 1):
+            for lo in range(1, n - 1):
+                mn = min(W[la + dla, lo + dlo]
+                         for dla in (-1, 0, 1) for dlo in (-1, 0, 1)
+                         if (dla, dlo) != (0, 0))
+                W[la, lo] = max(g[la, lo], mn)
+        if np.array_equal(W, old):
+            break
+    rows = [("d", _key(la, lo), float(g[la, lo]))
+            for la in range(n) for lo in range(n)]
+    out = {r["cell"]: r for r in
+           hydro.fill_sinks(_elev_df(spark, rows)).collect()}
+    for la in range(n):
+        for lo in range(n):
+            got = out[_key(la, lo)]["filled"]
+            assert abs(got - W[la, lo]) < 5e-7, (seed, la, lo)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_hand_matches_python_reference(spark, seed):
+    """Random 5x5 grids: engine HAND equals the python walk to the
+    first stream cell (acc >= 3) along the D8 argmax path."""
+    rng = np.random.default_rng(seed)
+    n = 5
+    g = rng.uniform(0.0, 10.0, (n, n))
+    flow_ref = _py_d8(g)
+    # path-count accumulation
+    acc = {k: 1 for k in flow_ref}
+    for start in flow_ref:
+        cur = start
+        seen = set()
+        while flow_ref[cur] is not None:
+            cur = flow_ref[cur][2]
+            assert cur not in seen
+            seen.add(cur)
+            acc[cur] += 1
+    stream = {k for k, v in acc.items() if v >= 3}
+    rows = [("d", _key(la, lo), float(g[la, lo]))
+            for la in range(n) for lo in range(n)]
+    elev = _elev_df(spark, rows)
+    flow = hydro.flow_direction(elev)
+    out = {r["cell"]: r for r in
+           hydro.hand(elev, flow, hydro.flow_accumulation(flow),
+                      threshold=3).collect()}
+    for k in flow_ref:
+        cur, dist = k, 0.0
+        reached = cur in stream
+        while not reached and flow_ref[cur] is not None:
+            dist = dist + flow_ref[cur][3]
+            cur = flow_ref[cur][2]
+            reached = cur in stream
+        r = out[_key(*k)]
+        assert r["reached"] == reached, (seed, k)
+        if reached:
+            assert abs(r["dist_to_stream"] - dist) < 5e-7, (seed, k)
+            assert abs(r["hand"] - (g[k] - g[cur])) < 5e-7, (seed, k)
