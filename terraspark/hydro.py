@@ -750,9 +750,13 @@ def fill_sinks(elev: DataFrame, max_iter: int = 64) -> DataFrame:
     step = 1 << _LON_BITS
     deltas = [dla * step + dlo for _, dla, dlo, _ in D8]
     dlist = ", ".join(f"{d}L" for d in deltas)
+    # checkpointed once: every relaxation round re-joins this fan-out,
+    # and without the checkpoint each round would re-derive it from
+    # elev's full upstream plan (the flow_accumulation edges convention)
     nbr = (elev.select("dem_id", "cell",
                        F.explode(F.expr(f"array({dlist})")).alias("d"))
-           .withColumn("target", F.col("cell") + F.col("d")))
+           .withColumn("target", F.col("cell") + F.col("d"))
+           .localCheckpoint())
     present = elev.select("dem_id", F.col("cell").alias("target"),
                           F.col("elev").alias("nelev"))
     deg = (nbr.join(present, ["dem_id", "target"])
