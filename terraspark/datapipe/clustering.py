@@ -29,9 +29,14 @@ def _assign(e: DataFrame, centroids: np.ndarray) -> DataFrame:
     right zip_with dot fold, same norms), so the dp_kmeans oracle's
     list_cosine_similarity parity is untouched."""
     norms = np.linalg.norm(centroids, axis=1)
-    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                     for c in centroids])
-    cnorm = F.array(*[F.lit(float(x)) for x in norms])
+    # single nested-array Literal nodes, NOT k x dim nested F.array(F.lit)
+    # calls: the values and arithmetic are identical, but the expression
+    # tree stays O(1) in k x dim -- at k=8, dim=64 the per-iteration
+    # analyze/optimize/codegen cost of the 500+-node literal tree was the
+    # largest driver-side gap in the bench timeline (no job running while
+    # the plan compiles)
+    cmat = F.lit([[float(x) for x in c] for c in centroids])
+    cnorm = F.lit([float(x) for x in norms])
     vnorm = F.sqrt(F.aggregate("vec", F.lit(0.0),
                                lambda acc, x: acc + x * x))
     scores = F.transform(

@@ -112,7 +112,19 @@ def candidate_pairs(buckets: DataFrame,
     """Distinct (doc_a < doc_b) pairs sharing any LSH bucket.
 
     Buckets larger than ``max_bucket`` are excluded before the self-join
-    (skew guard -- see DEFAULT_MAX_BUCKET); audit drops via bucket_audit."""
+    (skew guard -- see DEFAULT_MAX_BUCKET); audit drops via bucket_audit.
+
+    The bucket table is consumed THREE times (cap sizes + both sides of
+    the band self-join) and Spark does not share non-exchange subtrees
+    across consumers, so without a cut point each consumer re-runs the
+    full signature pipeline upstream (for the char-shingle MinHash that
+    is the single most expensive expression stage in the dedup suite --
+    measured 2x concurrent re-materializations of a ~400 CPU-sec stage
+    at bench scale).  The table itself is narrow (docs x n_bands rows),
+    so materialize it once -- the same cut incremental_dedup already
+    applies to its tagged bucket table."""
+    if not buckets.isStreaming:
+        buckets = buckets.localCheckpoint(eager=True)
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).select("band", "bucket")
     capped = buckets.join(ok, ["band", "bucket"])
@@ -277,8 +289,24 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame,
 def _pair_overlap(docs: DataFrame, pairs: DataFrame,
                   max_tokens: int | None) -> DataFrame:
     """(doc_a, doc_b, n_inter, na, nb) under the shared capped-token
-    rule -- the common core of jaccard_pairs / containment_pairs."""
-    toks = _capped_tokens(docs, max_tokens)
+    rule -- the common core of jaccard_pairs / containment_pairs.
+
+    Scale shape: only docs that actually appear in ``pairs`` are
+    tokenized -- the verify is candidate-pair driven, so tokenizing the
+    whole corpus (and paying the per-doc cap window over it) three
+    times over for the sizes/ta/tb consumers would be pure waste at any
+    scale.  ``pairs`` is materialized once (it is the small decision
+    table; upstream it is often an expensive LSH plan), the doc set is
+    derived from it, and the capped token table is computed once over
+    that pruned doc set and materialized for its three consumers."""
+    if not pairs.isStreaming:
+        pairs = pairs.localCheckpoint(eager=True)
+    need = (pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct())
+    toks = _capped_tokens(docs.join(need, "doc_id", "left_semi"), max_tokens)
+    if not toks.isStreaming:
+        toks = toks.localCheckpoint(eager=True)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")

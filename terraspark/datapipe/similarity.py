@@ -83,8 +83,10 @@ def srp_signature(embeddings: DataFrame, dim: int,
     e = with_double_vec(embeddings)
     sig = None
     for j, h in enumerate(planes):
-        dot = _dot(F.col("vec"),
-                   F.array(*[F.lit(float(x)) for x in h]))
+        # one array Literal per plane (same values/arithmetic as the
+        # F.array-of-F.lit form, but a bits x dim literal forest made the
+        # plan-compile time a visible driver-side stall at bits=16,dim=64)
+        dot = _dot(F.col("vec"), F.lit([float(x) for x in h]))
         bit = F.when(dot > 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return e.select("vec_id", sig.cast("long").alias("srp"))
@@ -136,6 +138,13 @@ def srp_neardup_pairs(embeddings: DataFrame, dim: int,
     2^16 buckets) -- the recall/precision trade is the standard LSH
     banding calculus, all parameterized here."""
     sig = srp_signature(embeddings, dim, bits)
+    # the signature projection is a wide expression tree (bits x dim
+    # literal folds -- expensive to codegen and to run) consumed by the
+    # cap filter and both sides of the band self-join; materialize the
+    # narrow (vec_id, srp) table once instead of re-running the
+    # projection per consumer
+    if not sig.isStreaming:
+        sig = sig.localCheckpoint(eager=True)
     rows = srp_band_rows(sig, bands, bits)
     # bucket-key space is <= bands * 2^(bits/bands): tiny by construction,
     # so the cap filter always broadcasts

@@ -21,9 +21,20 @@ def build_session(app: str = "terraspark", cores: int | None = None,
     default 128m is fine for ordinary relational scans)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 32)
+    # Throughput collector for the batch pipeline: the image path allocates
+    # large short-lived binary buffers (16 KB px blobs, Arrow batches,
+    # columnar-cache builders) that G1 classifies as humongous; under CPU
+    # contention G1's concurrent cycles stall allocation -- measured 204 s
+    # of GC in the single decode+join+persist stage of one bench run
+    # (event-log task metrics, OPTIMIZATION_r06.md) vs single-digit
+    # seconds with the parallel collector on identical input.  Overridable
+    # per deployment (e.g. latency-sensitive streaming -> G1/ZGC).
+    java_opts = os.environ.get("TERRASPARK_JAVA_OPTS", "-XX:+UseParallelGC")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
+        .config("spark.driver.extraJavaOptions", java_opts)
+        .config("spark.executor.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # pin the session timezone: timestamp_ntz -> timestamp casts (e.g.
         # sessionization's gap arithmetic) must not depend on the host TZ

@@ -82,20 +82,23 @@ def connected_components(active: DataFrame, edges: DataFrame,
     for _ in range(max_iter):
         nbr = (edges.withColumnRenamed("src", "cell")
                .join(labels, "cell")
-               .select(F.col("dst").alias("cell"), "label"))
-        merged = (labels.unionByName(nbr)
-                  .groupBy("cell").agg(F.min("label").alias("label")))
+               .select(F.col("dst").alias("cell"), "label",
+                       F.lit(False).alias("_own")))
+        # The previous round's label rides through the SAME union+groupBy
+        # as a tagged side-aggregate (each cell has exactly one _own row),
+        # so convergence is read off the checkpointed blocks with a plain
+        # filter-count -- no separate labels-join (one exchange fewer per
+        # round than joining the old table back in).
+        merged = (labels.withColumn("_own", F.lit(True)).unionByName(nbr)
+                  .groupBy("cell")
+                  .agg(F.min("label").alias("label"),
+                       F.min(F.when(F.col("_own"), F.col("label")))
+                       .alias("old")))
         # pointer jump: every label is itself an active cell, so its own
         # current label exists -- follow it one hop (path halving)
         ptr = merged.select(F.col("cell").alias("label"),
                             F.col("label").alias("jump"))
-        # carry the previous label through the SAME plan so convergence is
-        # read off the checkpointed blocks -- a plain filter-count, not a
-        # second shuffle join per round (the loop's per-round cost is all
-        # small-job overhead at fixture scale, and one fewer exchange per
-        # round at corpus scale)
         new = (merged.join(ptr, "label")
-               .join(labels.withColumnRenamed("label", "old"), "cell")
                .select("cell", F.least("label", "jump").alias("label"),
                        "old")
                .localCheckpoint())
