@@ -79,6 +79,44 @@ def connected_components(active: DataFrame, edges: DataFrame,
     int64 columns) -- the pixel data never enters the loop."""
     labels = active.select("cell", F.col("cell").alias("label")) \
         .localCheckpoint()
+    # Scale-adaptive loop partitioning: every round shuffles only the
+    # narrow (cell, label) table, whose size is known exactly once the
+    # seed table is materialized.  Sizing the loop's shuffles from that
+    # count (~500k rows per partition, never above the session default)
+    # replaces 32-task micro-stages with 1-2 tasks at fixture scale and
+    # still fans out proportionally on a continent-sized region -- the
+    # per-round scheduling overhead was the dominant cost of the loop
+    # (measured 9 rounds x ~0.4 s for a 2.6k-label table, nearly all
+    # task-launch latency).  Restored after the loop so downstream plans
+    # keep the session's sizing.
+    # the edge table is re-read every round; cut its upstream plan (e.g.
+    # polygonize's join+distinct edge derivation) once instead of
+    # re-executing it per round -- lazy, so it materializes inside the
+    # first round's job
+    if not edges.isStreaming:
+        edges = edges.localCheckpoint(eager=False)
+    spark = active.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
+    session_parts = int(spark.conf.get(key))
+    session_aqe = spark.conf.get(aqe_key)
+    n_nodes = labels.count()
+    loop_parts = max(1, min(session_parts, n_nodes // 500_000 + 1))
+    spark.conf.set(key, str(loop_parts))
+    # AQE re-plans and re-submits every exchange of every round as its own
+    # query stage; with the loop's partition count already derived from
+    # the exact table size there is nothing left for it to adapt, and its
+    # per-round planning latency dominates these micro-stages
+    spark.conf.set(aqe_key, "false")
+    try:
+        labels = _cc_loop(labels, edges, max_iter)
+    finally:
+        spark.conf.set(key, str(session_parts))
+        spark.conf.set(aqe_key, session_aqe)
+    return labels
+
+
+def _cc_loop(labels: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         nbr = (edges.withColumnRenamed("src", "cell")
                .join(labels, "cell")
@@ -98,10 +136,14 @@ def connected_components(active: DataFrame, edges: DataFrame,
         # current label exists -- follow it one hop (path halving)
         ptr = merged.select(F.col("cell").alias("label"),
                             F.col("label").alias("jump"))
+        # lazy checkpoint: the convergence count below is the round's ONLY
+        # action -- it materializes the checkpoint blocks and reads the
+        # changed-row count in one job instead of an eager-checkpoint job
+        # followed by a count job
         new = (merged.join(ptr, "label")
                .select("cell", F.least("label", "jump").alias("label"),
                        "old")
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         changed = new.where(F.col("label") != F.col("old")).count()
         labels = new.select("cell", "label")
         if changed == 0:
