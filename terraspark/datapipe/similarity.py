@@ -280,7 +280,28 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
     caller that already assigned (semdedup) passes ``assign`` to avoid
     recomputing it."""
     if assign is None:
+        # materialize the narrow (vec_id, centroid_id) table once: it is
+        # consumed by the size probe below, the cap filter and the pair
+        # join, and each would otherwise re-run the centroid crossJoin
         assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
+        if not assign.isStreaming:
+            assign = assign.localCheckpoint(eager=True)
+    # The per-cell population is one row per centroid (n_centroids is a
+    # parameter -- driver-tiny even at a real IVF's 65k cells), so read
+    # it once and build ONLY the branches that have members: in the
+    # common homogeneous case (no cell above sub_block, or every big
+    # cell) half the plan -- its shuffles, its union leg, its empty
+    # 32-task stages -- disappears instead of executing on zero rows.
+    # The kept-cell filter below still travels as a broadcast join; the
+    # collected rows only steer plan construction, pair semantics are
+    # byte-identical to the always-both-branches form.
+    sizes_rows = assign.groupBy("centroid_id") \
+        .agg(F.count("*").alias("_n")).collect()
+    have_big = any(sub_block < r["_n"] <= max_cell for r in sizes_rows)
+    # the small leg also serves as the typed empty frame when every cell
+    # is excluded by the cap (it then selects zero rows naturally)
+    have_small = any(r["_n"] <= sub_block for r in sizes_rows) \
+        or not have_big
     sizes = assign.groupBy("centroid_id").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_cell) \
         .select("centroid_id", (F.col("_n") > sub_block).alias("_big"))
@@ -294,26 +315,32 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
                 .where(F.col("cos") >= threshold)
                 .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
 
-    small = e.where(~F.col("_big"))
-    a = small.select(F.col("vec_id").alias("vec_a"),
-                     F.col("vec").alias("va"), "centroid_id")
-    b = small.select(F.col("vec_id").alias("vec_b"),
-                     F.col("vec").alias("vb"), "centroid_id")
-    direct = pair_cos(a.join(b, "centroid_id")
-                      .where(F.col("vec_a") < F.col("vec_b")))
-
-    big = e.where(F.col("_big"))
-    bkt = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
-    ab = (big.select(F.col("vec_id").alias("vec_a"),
-                     F.col("vec").alias("va"), "centroid_id")
-          .withColumn("bucket",
-                      F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))))
-    bb = big.select(F.col("vec_id").alias("vec_b"),
-                    F.col("vec").alias("vb"), "centroid_id",
-                    bkt.alias("bucket"))
-    blocked = pair_cos(ab.join(bb, ["centroid_id", "bucket"])
-                       .where(F.col("vec_a") < F.col("vec_b")))
-    return direct.unionByName(blocked)
+    legs = []
+    if have_small:
+        small = e.where(~F.col("_big"))
+        a = small.select(F.col("vec_id").alias("vec_a"),
+                         F.col("vec").alias("va"), "centroid_id")
+        b = small.select(F.col("vec_id").alias("vec_b"),
+                         F.col("vec").alias("vb"), "centroid_id")
+        legs.append(pair_cos(a.join(b, "centroid_id")
+                             .where(F.col("vec_a") < F.col("vec_b"))))
+    if have_big:
+        big = e.where(F.col("_big"))
+        bkt = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+        ab = (big.select(F.col("vec_id").alias("vec_a"),
+                         F.col("vec").alias("va"), "centroid_id")
+              .withColumn("bucket",
+                          F.explode(F.sequence(F.lit(0),
+                                               F.lit(n_blocks - 1)))))
+        bb = big.select(F.col("vec_id").alias("vec_b"),
+                        F.col("vec").alias("vb"), "centroid_id",
+                        bkt.alias("bucket"))
+        legs.append(pair_cos(ab.join(bb, ["centroid_id", "bucket"])
+                             .where(F.col("vec_a") < F.col("vec_b"))))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: list, k: int = 5,

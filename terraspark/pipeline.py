@@ -10,8 +10,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+import os
+
 from . import corrections, dem, tiling
 from .config import CELL_RES, METHODS, TILE, CorrectionParams, DEFAULT_PARAMS
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialization strategy for the fat reused tables (joined tiles,
+    DEM features).
+
+    Default ``checkpoint``: localCheckpoint stores the partitions'
+    UnsafeRows directly as block-manager blocks.  ``persist`` routes
+    through the columnar InMemoryRelation cache instead, whose per-batch
+    column builders re-buffer every 16 KB pixel blob through growing
+    byte arrays -- measured both slower to build (4.1 s vs 2.8 s warm,
+    12.5 vs 5.4 cold at 512 images) and slower to read back
+    (decompress + row reassembly), and the builder churn is what drove
+    the GC stalls in the decode+join stage (OPTIMIZATION_r06.md).  The
+    trade is lineage truncation: on a cluster, losing an executor under
+    ``checkpoint`` fails the job instead of recomputing -- set
+    TERRASPARK_CACHE_MODE=persist for long multi-tenant runs where that
+    matters more than throughput.  Streaming plans cannot checkpoint and
+    always take the persist path."""
+    if df.isStreaming or \
+            os.environ.get("TERRASPARK_CACHE_MODE", "checkpoint") == "persist":
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df.localCheckpoint(eager=False)
 
 
 class TopoEngine:
@@ -44,7 +69,7 @@ class TopoEngine:
     def dem_features(self, dem_df: DataFrame, persist: bool = True) -> DataFrame:
         feats = dem.derive_features(dem_df, self.params, self.tile)
         if persist:
-            feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+            feats = _pin(feats)
         self._features = feats
         return feats
 
@@ -74,7 +99,7 @@ class TopoEngine:
             j = j.repartition(target,
                               "image_id", "band", "tile_x", "tile_y")
         if persist:
-            j = j.persist(StorageLevel.MEMORY_AND_DISK)
+            j = _pin(j)
         self._joined = j
         return j
 
