@@ -78,13 +78,74 @@ def minhash_shingle_signature(docs: DataFrame, k: int = 5,
                               seeds: int = 4) -> DataFrame:
     """(doc_id, seed, minhash) over CHARACTER k-gram shingles -- the
     canonical near-dup MinHash (order-sensitive, unlike the unigram
-    variant).  Shingle generation is a JVM-side higher-order function."""
-    shingles = spread_input(docs).select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(
-            f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
-            f"i -> substring(text, i, {k}))"))).alias("sh"))
-    return _seed_mins(shingles, "sh", seeds)
+    variant).
+
+    Implementation: one mapInPandas stage that shingles, hashes and
+    min-reduces per document, deduplicating shingles ACROSS the batch in
+    a per-batch hash table before hashing.  Byte-identical to the former
+    JVM expression form (explode(array_distinct(substring...)) ->
+    groupBy(doc_id).agg(min(md5(sh || '_' || seed)))): hashlib.md5 over
+    UTF-8 == Spark's md5, Python str slicing counts codepoints exactly
+    like Spark's substring, and min over lowercase-hex strings matches
+    UTF8String binary ordering -- asserted against the expression form in
+    tests/test_minhash_python_parity.py.  Why: the expression form
+    evaluated seeds x md5 PER SHINGLE OCCURRENCE (~18M MessageDigest
+    round-trips at bench scale -- the single most expensive stage of the
+    dedup suite); shingle multiplicity across a batch of documents makes
+    the per-batch dedup drop that by 1-2 orders of magnitude (guide
+    section 4.2: hand whole batches to native code).  Scale shape
+    unchanged: still a single map stage before the signature shuffle,
+    the hash table is per-batch (bounded by Arrow batch size), and the
+    shuffle still carries seeds narrow rows per doc."""
+    import hashlib
+
+    import pandas as pd
+
+    n_seeds = int(seeds)
+    kk = int(k)
+
+    def sig(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "seed": pd.Series([], dtype="int32"),
+                                    "minhash": pd.Series([], dtype=object)})
+                continue
+            cache: dict[str, list[str]] = {}
+            doc_ids, seed_col, mins = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue        # matches explode(null) -> zero rows
+                n = max(len(text) - kk + 1, 1)
+                best: list[str] | None = None
+                for i in range(n):
+                    sh = text[i:i + kk]
+                    hs = cache.get(sh)
+                    if hs is None:
+                        hs = [hashlib.md5(
+                            f"{sh}_{s}".encode()).hexdigest()
+                            for s in range(n_seeds)]
+                        cache[sh] = hs
+                    if best is None:
+                        best = list(hs)
+                    else:
+                        for s in range(n_seeds):
+                            if hs[s] < best[s]:
+                                best[s] = hs[s]
+                if best is None:
+                    continue
+                doc_ids.extend([doc_id] * n_seeds)
+                seed_col.extend(range(n_seeds))
+                mins.extend(best)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(doc_ids, dtype=pdf["doc_id"].dtype),
+                "seed": pd.Series(seed_col, dtype="int32"),
+                "minhash": pd.Series(mins, dtype=object)})
+
+    slim = spread_input(docs).select("doc_id", "text")
+    id_type = slim.schema["doc_id"].dataType.simpleString()
+    return slim.mapInPandas(
+        sig, schema=f"doc_id {id_type}, seed int, minhash string")
 
 
 def lsh_buckets(signatures: DataFrame,

@@ -189,7 +189,8 @@ def assemble_padded(z: np.ndarray, strips: dict[str, np.ndarray],
 
 
 def _assemble_group(dem_id, target, g: pd.DataFrame, tile: int,
-                    params: CorrectionParams, out: dict):
+                    params: CorrectionParams, out: dict,
+                    emit_aspect: bool = True):
     roles = g["role"].to_numpy()
     cidx = np.where(roles == "C")[0]
     if not len(cidx):            # halo addressed to a cell with no DEM tile
@@ -211,7 +212,9 @@ def _assemble_group(dem_id, target, g: pd.DataFrame, tile: int,
     out["lat"].append(float(crow["lat"]))
     out["lon"].append(float(crow["lon"]))
     out["slope"].append(np.ascontiguousarray(slope, dtype="<f4").tobytes())
-    out["aspect"].append(np.ascontiguousarray(aspect, dtype="<f4").tobytes())
+    if emit_aspect:
+        out["aspect"].append(
+            np.ascontiguousarray(aspect, dtype="<f4").tobytes())
     out["lum"].append(np.ascontiguousarray(lum, dtype="<f4").tobytes())
 
 
@@ -219,10 +222,14 @@ _OUT_COLS = ("dem_id", "cell", "tile_x", "tile_y", "lat", "lon",
              "slope", "aspect", "lum")
 
 
-def _make_partition_assembler(tile: int, params: CorrectionParams):
+def _make_partition_assembler(tile: int, params: CorrectionParams,
+                              emit_aspect: bool = True):
     """Process a whole sorted partition: groups are contiguous, so we buffer
     only the possibly-incomplete trailing group across Arrow batches --
     ONE Python call per partition instead of one per (dem_id, cell) group."""
+
+    cols = _OUT_COLS if emit_aspect else tuple(
+        c for c in _OUT_COLS if c != "aspect")
 
     def run(batches):
         leftover = None
@@ -238,14 +245,14 @@ def _make_partition_assembler(tile: int, params: CorrectionParams):
             head = pdf[~tail]
             if not len(head):
                 continue
-            out = {k: [] for k in _OUT_COLS}
+            out = {k: [] for k in cols}
             for (d, t), g in head.groupby(["dem_id", "target"], sort=False):
-                _assemble_group(d, t, g, tile, params, out)
+                _assemble_group(d, t, g, tile, params, out, emit_aspect)
             yield pd.DataFrame(out)
         if leftover is not None and len(leftover):
-            out = {k: [] for k in _OUT_COLS}
+            out = {k: [] for k in cols}
             for (d, t), g in leftover.groupby(["dem_id", "target"], sort=False):
-                _assemble_group(d, t, g, tile, params, out)
+                _assemble_group(d, t, g, tile, params, out, emit_aspect)
             yield pd.DataFrame(out)
 
     return run
@@ -253,11 +260,18 @@ def _make_partition_assembler(tile: int, params: CorrectionParams):
 
 def derive_features(dem: DataFrame, params: CorrectionParams,
                     tile: int = TILE,
-                    partitions: int | None = None) -> DataFrame:
+                    partitions: int | None = None,
+                    emit_aspect: bool = True) -> DataFrame:
     """dem(dem_id, cell, tile_x, tile_y, lat, lon, elev) ->
     (dem_id, cell, ..., slope, aspect, lum) -- one shuffle, no skew:
     the halo rows are hash-repartitioned by (dem_id, target) and sorted
-    within partitions so each (dem_id, cell) group is contiguous."""
+    within partitions so each (dem_id, cell) group is contiguous.
+
+    ``emit_aspect=False`` computes aspect (luminance needs it) but skips
+    serializing the 16 KB/tile aspect binary through Arrow: consumers
+    that only join slope+lum (corrections.join_dem) cannot column-prune
+    inside a mapInPandas output, so the pruning must happen here (guide:
+    opaque functions defeat column pruning -- pass only what is used)."""
     if partitions is None:
         partitions = int(
             dem.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -272,5 +286,7 @@ def derive_features(dem: DataFrame, params: CorrectionParams,
     halo = dem.mapInPandas(lambda it: _emit_halo(it, tile), schema=HALO_SCHEMA)
     shuffled = halo.repartition(partitions, "dem_id", "target") \
                    .sortWithinPartitions("dem_id", "target")
-    return shuffled.mapInPandas(_make_partition_assembler(tile, params),
-                                schema=FEATURES_SCHEMA)
+    schema = FEATURES_SCHEMA if emit_aspect else \
+        FEATURES_SCHEMA.replace("aspect binary, ", "")
+    return shuffled.mapInPandas(
+        _make_partition_assembler(tile, params, emit_aspect), schema=schema)

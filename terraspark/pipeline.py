@@ -76,7 +76,21 @@ class TopoEngine:
     def joined(self, images: DataFrame, scenes: DataFrame,
                dem_df: DataFrame, persist: bool = True) -> DataFrame:
         tiles = self.tiles(images, scenes)
-        feats = self._features or self.dem_features(dem_df)
+        # Features derived here feed exactly ONE consumer: the broadcast
+        # side of join_dem (the joined output is itself pinned below, so
+        # nothing re-reads the feature table).  Pinning it too would add a
+        # full write+read of the fat (slope, aspect, lum) binaries for no
+        # reuse, and join_dem only projects slope+lum -- an opaque
+        # mapInPandas output cannot be column-pruned, so the aspect bytes
+        # are dropped at the source (emit_aspect=False).  Callers that
+        # want the reusable, persisted, aspect-bearing table (hillshade,
+        # feature stats, streaming) call dem_features() first; joined()
+        # then uses that instead.
+        feats = self._features
+        if feats is None:
+            feats = dem.derive_features(dem_df, self.params, self.tile,
+                                        emit_aspect=False)
+            self._features = feats
         j = corrections.join_dem(tiles, feats, self.broadcast_dem)
         # Conditional repartition before the (reused) persist, same guard
         # as tiling.tile_images: a many-split production scan already
