@@ -151,12 +151,20 @@ def srp_neardup_pairs(embeddings: DataFrame, dim: int,
     ok = (rows.groupBy("band", "bkey").agg(F.count("*").alias("_n"))
           .where(F.col("_n") <= max_bucket).select("band", "bkey"))
     capped = rows.join(F.broadcast(ok), ["band", "bkey"])
+    # pin the self-join + verify parallelism (see neardup_pairs: AQE
+    # coalesces the few-MB band shuffle to 1-2 partitions and the exact
+    # cosine verify then runs on one core); the keyed repartition IS the
+    # join's exchange, so no shuffle is added
+    n_parts = int(capped.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    capped = capped.repartition(n_parts, "band", "bkey")
     cand = (capped.select("band", "bkey", F.col("vec_id").alias("vec_a"))
             .join(capped.select("band", "bkey",
                                 F.col("vec_id").alias("vec_b")),
                   ["band", "bkey"])
             .where(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b").distinct())
+            .select("vec_a", "vec_b").distinct()
+            .repartition(n_parts, "vec_a"))
     e = with_double_vec(embeddings)
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
@@ -315,13 +323,25 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
                 .where(F.col("cos") >= threshold)
                 .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
 
+    # Pin the pair-join parallelism: the quadratic compare + cosine
+    # verify evaluate inside the join stage, whose input shuffles are a
+    # few MB of narrow rows -- AQE coalesces them to 1-2 partitions by
+    # BYTE size and the whole verify then runs on one core (observed: a
+    # 2.3 s single-task stage doing every pair's 64-dim cosine).  An
+    # explicit keyed repartition replaces the join's own exchange (same
+    # key, no extra shuffle) with a partition count AQE leaves alone, so
+    # per-CELL work spreads across tasks.  Partition count = the session
+    # shuffle setting (scale-parameterized, not a local constant).
+    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     legs = []
     if have_small:
         small = e.where(~F.col("_big"))
         a = small.select(F.col("vec_id").alias("vec_a"),
-                         F.col("vec").alias("va"), "centroid_id")
+                         F.col("vec").alias("va"), "centroid_id") \
+            .repartition(n_parts, "centroid_id")
         b = small.select(F.col("vec_id").alias("vec_b"),
-                         F.col("vec").alias("vb"), "centroid_id")
+                         F.col("vec").alias("vb"), "centroid_id") \
+            .repartition(n_parts, "centroid_id")
         legs.append(pair_cos(a.join(b, "centroid_id")
                              .where(F.col("vec_a") < F.col("vec_b"))))
     if have_big:
@@ -331,10 +351,12 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.8,
                          F.col("vec").alias("va"), "centroid_id")
               .withColumn("bucket",
                           F.explode(F.sequence(F.lit(0),
-                                               F.lit(n_blocks - 1)))))
+                                               F.lit(n_blocks - 1))))
+              .repartition(n_parts, "centroid_id", "bucket"))
         bb = big.select(F.col("vec_id").alias("vec_b"),
                         F.col("vec").alias("vb"), "centroid_id",
-                        bkt.alias("bucket"))
+                        bkt.alias("bucket")) \
+            .repartition(n_parts, "centroid_id", "bucket")
         legs.append(pair_cos(ab.join(bb, ["centroid_id", "bucket"])
                              .where(F.col("vec_a") < F.col("vec_b"))))
     out = legs[0]

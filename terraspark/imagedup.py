@@ -94,9 +94,18 @@ def phash_neardup(images: DataFrame, max_dist: int = 3,
             f"pigeonhole recall needs max_dist < {n_bands} bands of "
             f"{band_bits} bits: max_dist={max_dist}")
     bands = phash_bands(images, band_bits)
+    # the band table is consumed three times (cap sizes + both sides of
+    # the self-join) and Spark does not share non-exchange subtrees, so
+    # each consumer would re-run the scan + slice projection; the table
+    # is narrow (n_images x n_bands of int rows) -- materialize it once
+    # (same cut as datapipe.dedup.candidate_pairs)
+    if not bands.isStreaming:
+        bands = bands.localCheckpoint(eager=True)
     sizes = bands.groupBy("band", "band_val").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).select("band", "band_val")
-    capped = bands.join(ok, ["band", "band_val"])
+    # the cap table is one row per non-empty band bucket -- broadcast it
+    # instead of letting the planner shuffle the band rows against it
+    capped = bands.join(F.broadcast(ok), ["band", "band_val"])
     a = capped.select("band", "band_val",
                       F.col("image_id").alias("image_a"),
                       F.col("phash").alias("phash_a"))
