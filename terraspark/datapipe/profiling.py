@@ -34,6 +34,14 @@ def profile_table(df: DataFrame, string_cols: list[str],
     the profile IS the audit, and the oracle must match bit-for-bit;
     swap in approx_count_distinct only where a ±2% answer is
     acceptable."""
+    import re
+    for c in [*string_cols, *numeric_cols]:
+        # column names are interpolated into the stack() SQL string and
+        # the agg aliases below; anything beyond identifier characters
+        # would produce a parse error or a malformed literal (ADVICE r5)
+        if not re.fullmatch(r"[A-Za-z0-9_]+", c):
+            raise ValueError(f"profile_table: column name {c!r} must "
+                             "match [A-Za-z0-9_]+")
     aggs = []
     for c in string_cols + numeric_cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long"))
