@@ -110,11 +110,15 @@ def build_session(app: str = "terraspark", cores: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # tile rows are fat (16-64 KB of binary each): ~2k rows/batch keeps
-        # Arrow transfers in the tens-of-MB sweet spot (measured optimum;
-        # smaller batches pay per-call overhead, larger ones balloon the
-        # per-task working set under the 11-method kernel fan-out)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # tile rows are fat (16-64 KB of binary each): 512 rows/batch =
+        # ~25 MB Arrow transfers.  Re-measured r6 after the GC/hugepage
+        # work (alternating A/B, 3 reps each): 512 beats the former 2048
+        # by ~0.3-0.5 s on BOTH fat-tile Python stages (scalar stats
+        # 1.4-1.6 vs 1.9-2.3 s; kernels 1.9-2.2 vs 2.4-2.5 s) -- smaller
+        # peak allocations and better JVM<->Python pipelining; narrow
+        # datapipe rows see no measurable change (their batches are
+        # row-count-bounded far below any byte limit)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", driver_mem)
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
