@@ -116,18 +116,33 @@ def connected_components(active: DataFrame, edges: DataFrame,
     return labels
 
 
-def _cc_loop(labels: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
-    for _ in range(max_iter):
+def _cc_loop(labels: DataFrame, edges: DataFrame, max_iter: int,
+             steps_per_round: int = 2) -> DataFrame:
+    """Min-label + path-halving propagation, ``steps_per_round``
+    propagation steps per DRIVER ROUND.
+
+    At fixture scale a round's cost is dominated by the driver barrier
+    (plan + schedule + convergence count: measured ~0.17 s gap + ~0.09 s
+    job per round vs milliseconds of actual shuffle), so chaining two
+    steps into one lazy plan halves the barriers, checkpoints and counts
+    for the same total shuffle work; on a cluster the same chaining
+    halves the number of synchronization points of the loop.  Semantics
+    are unchanged: convergence is declared when the LAST step of a round
+    changes nothing (exactly the old one-step criterion -- propagation is
+    idempotent at the fixpoint, so any extra step a doubled round runs
+    past convergence is a no-op)."""
+
+    def step(cur: DataFrame) -> DataFrame:
         nbr = (edges.withColumnRenamed("src", "cell")
-               .join(labels, "cell")
+               .join(cur, "cell")
                .select(F.col("dst").alias("cell"), "label",
                        F.lit(False).alias("_own")))
-        # The previous round's label rides through the SAME union+groupBy
-        # as a tagged side-aggregate (each cell has exactly one _own row),
+        # The step's input label rides through the SAME union+groupBy as
+        # a tagged side-aggregate (each cell has exactly one _own row),
         # so convergence is read off the checkpointed blocks with a plain
         # filter-count -- no separate labels-join (one exchange fewer per
-        # round than joining the old table back in).
-        merged = (labels.withColumn("_own", F.lit(True)).unionByName(nbr)
+        # step than joining the old table back in).
+        merged = (cur.withColumn("_own", F.lit(True)).unionByName(nbr)
                   .groupBy("cell")
                   .agg(F.min("label").alias("label"),
                        F.min(F.when(F.col("_own"), F.col("label")))
@@ -136,14 +151,22 @@ def _cc_loop(labels: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
         # current label exists -- follow it one hop (path halving)
         ptr = merged.select(F.col("cell").alias("label"),
                             F.col("label").alias("jump"))
+        return (merged.join(ptr, "label")
+                .select("cell", F.least("label", "jump").alias("label"),
+                        "old"))
+
+    steps_left = max_iter
+    while steps_left > 0:
+        n_steps = min(steps_per_round, steps_left)
+        steps_left -= n_steps
+        cur = labels
+        for _ in range(n_steps):
+            cur = step(cur.select("cell", "label"))
         # lazy checkpoint: the convergence count below is the round's ONLY
         # action -- it materializes the checkpoint blocks and reads the
         # changed-row count in one job instead of an eager-checkpoint job
         # followed by a count job
-        new = (merged.join(ptr, "label")
-               .select("cell", F.least("label", "jump").alias("label"),
-                       "old")
-               .localCheckpoint(eager=False))
+        new = cur.localCheckpoint(eager=False)
         changed = new.where(F.col("label") != F.col("old")).count()
         labels = new.select("cell", "label")
         if changed == 0:
